@@ -1,0 +1,87 @@
+package graft.assemble
+
+import graft.core.{LinkedMention, Triple}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Relation assembly: linked mentions → (subj, pred, obj) triples
+  * (SURVEY.md §2.5 J5). The reference emits mentions only
+  * (`predict_enhanced.py:328-331`); triples derive from deterministic
+  * doc-level co-occurrence rules applied identically to reference-derived
+  * and our mentions (FIXTURES.md §6), so triple parity follows from mention
+  * parity.
+  *
+  * Shape: ONE shuffle — `groupByKey(doc_id)` + per-doc pairing inside
+  * `flatMapGroups`. Never a mentions×mentions self-join: the per-doc
+  * mention count is bounded by document length, so the pairing is O(k²)
+  * with tiny k, while a self-join on doc_id would shuffle the mention table
+  * twice and explode skewed docs.
+  */
+object Triples {
+
+  /** Deterministic relation rules: (subject type, object type) → predicate.
+    * Subject is always a Diseases mention; objects are the five other
+    * reference entity types (`evaluation.log:13-14`).
+    */
+  val Rules: Map[(String, String), String] = Map(
+    ("Diseases", "Drug") -> "treated_by",
+    ("Diseases", "Laboratory") -> "has_finding",
+    ("Diseases", "Anatomical") -> "located_in",
+    ("Diseases", "Image") -> "diagnosed_by",
+    ("Diseases", "Operation") -> "treated_with"
+  )
+
+  /** Assemble triples from linked mentions. `canonical` optionally maps
+    * concept node → canonical component id (from Canon.connectedComponents);
+    * when given, subj/obj are canonical ids.
+    */
+  def assemble(linked: Dataset[LinkedMention]): Dataset[Triple] = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    linked
+      .groupByKey(_.doc_id)
+      .flatMapGroups { (docId, it) =>
+        val ms = it.toArray
+        val subs = ms.filter(_.entity_type == "Diseases")
+        val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
+        val out = Seq.newBuilder[Triple]
+        var i = 0
+        while (i < subs.length) {
+          val s = subs(i)
+          var j = 0
+          while (j < ms.length) {
+            val o = ms(j)
+            Rules.get((s.entity_type, o.entity_type)).foreach { pred =>
+              val key = (s.concept_id, pred, o.concept_id)
+              if (!seen.contains(key)) {
+                seen += key
+                out += Triple(s.concept_id, pred, o.concept_id, docId, s.entity_type, o.entity_type)
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+  }
+
+  /** Rewrite subj/obj through the canonical component mapping (two
+    * broadcast-able joins when the mapping is small; shuffle joins
+    * otherwise — Catalyst + AQE decide).
+    */
+  def canonicalize(triples: Dataset[Triple], components: DataFrame): Dataset[Triple] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val comp = components.select(col("node"), col("component"))
+    triples
+      .join(comp.withColumnRenamed("node", "subj").withColumnRenamed("component", "subj_c"), Seq("subj"), "left")
+      .join(comp.withColumnRenamed("node", "obj").withColumnRenamed("component", "obj_c"), Seq("obj"), "left")
+      .select(
+        coalesce(col("subj_c"), col("subj")).as("subj"),
+        col("pred"),
+        coalesce(col("obj_c"), col("obj")).as("obj"),
+        col("doc_id"), col("subj_type"), col("obj_type"))
+      .as[Triple]
+  }
+}

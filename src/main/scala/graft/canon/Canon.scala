@@ -1,0 +1,85 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected-components canonicalization via iterative DataFrame self-joins
+  * (SURVEY.md §2.5 J4) — the entity-resolution stage that unifies surface
+  * nodes and lexicon concepts into canonical entities.
+  *
+  * Algorithm: minimum-label propagation to fixpoint. Each iteration
+  * propagates every node's current component id across edges and takes the
+  * per-node min. For the star-shaped mention↔concept graphs this engine
+  * produces, the diameter is tiny (≤4) and the loop converges in 2-3
+  * iterations; the upgrade path for general graphs at 10^12 scale is the
+  * large-star/small-star alternation of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC'14) — same join/agg shape,
+  * fewer iterations.
+  *
+  * Scale features baked in:
+  *  - SALTED two-phase aggregation: hub entities (a disease appearing in
+  *    millions of docs) concentrate min() inputs on one key; we pre-combine
+  *    on (node, salt) before the final (node) agg so no single reducer sees
+  *    the hub's full fan-in. (AQE skew-join splitting is enabled in the
+  *    session as backstop.)
+  *  - `localCheckpoint()` each iteration truncates the growing lineage so
+  *    the plan doesn't deepen linearly with iterations.
+  *  - Convergence test is an aggregate (`max(changed)`), never a collect of
+  *    data rows.
+  */
+object Canon {
+
+  /** @param edges two string columns `src`, `dst` (undirected pairs)
+    * @return DataFrame(node: string, component: string) — component is the
+    *         lexicographically smallest node id in the component.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      saltBuckets: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+
+    val e0 = edges.select(col("src"), col("dst"))
+    val bidirected = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = bidirected
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // propagate: each edge ships the src's component to the dst
+      val propagated = bidirected
+        .join(labels, bidirected("src") === labels("node"))
+        .select(col("dst").as("node"), col("component"))
+
+      // salted two-phase min: (node, salt) partial → (node) final
+      val candidates = propagated.union(labels.select(col("node"), col("component")))
+      val newLabels = candidates
+        .withColumn("salt", pmod(xxhash64(col("component")), lit(saltBuckets)))
+        .groupBy(col("node"), col("salt"))
+        .agg(min(col("component")).as("component"))
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+
+      val changed = newLabels
+        .join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") < col("old"))
+        .limit(1)
+        .count()
+
+      labels = newLabels.localCheckpoint()
+      converged = changed == 0
+      iter += 1
+    }
+    bidirected.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,69 @@
+package graft.cli
+
+import graft.data.{DocsGen, Lexicon}
+import graft.pipeline.KgPipeline
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the KG-construction pipeline
+  * (SURVEY.md §7.1 step 10). Local smoke usage:
+  *
+  *   sbt "runMain graft.cli.Main --docs synth:1000 --out /tmp/graft_out --cores 4"
+  *
+  * `--docs` accepts `synth:N` (deterministic generator, seed 42) or a path
+  * to a parquet docs table in the `input_hint` shape. Output: partitioned
+  * triples parquet at `--out`, plus a run summary on stdout.
+  */
+object Main {
+
+  case class Args(
+      docs: String = "synth:1000",
+      out: String = "/tmp/graft_out",
+      cores: Int = 0,
+      partitions: Int = 0,
+      explain: Boolean = false)
+
+  def parse(argv: Array[String]): Args =
+    argv.sliding(2, 2).foldLeft(Args()) {
+      case (a, Array("--docs", v)) => a.copy(docs = v)
+      case (a, Array("--out", v)) => a.copy(out = v)
+      case (a, Array("--cores", v)) => a.copy(cores = v.toInt)
+      case (a, Array("--partitions", v)) => a.copy(partitions = v.toInt)
+      case (a, Array("--explain", v)) => a.copy(explain = v.toBoolean)
+      case (a, Array(flag, _)) => sys.error(s"unknown flag: $flag"); a
+      case (a, _) => a
+    }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv)
+    val builder = SparkSession
+      .builder()
+      .appName("graft-kg")
+      .config("spark.sql.shuffle.partitions", math.max(args.cores, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // under spark-submit, master comes from the cluster; standalone runs
+    // default to local[cores]
+    val spark =
+      (if (args.cores > 0) builder.master(s"local[${args.cores}]") else builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    val docs = args.docs match {
+      case s if s.startsWith("synth:") =>
+        DocsGen.docs(DocsGen.gen(spark, s.stripPrefix("synth:").toLong, seed = 42L))
+      case path =>
+        spark.read.parquet(path).as[graft.core.Doc]
+    }
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
+    val triples = KgPipeline.run(docs, lex, args.partitions)
+    if (args.explain) triples.explain("formatted")
+    triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
+    val n = spark.read.parquet(args.out).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"graft-kg: $n%d triples -> ${args.out} in $sec%.1f s (${n / sec}%.0f triples/s)")
+    spark.stop()
+  }
+}

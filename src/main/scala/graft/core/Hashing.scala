@@ -1,0 +1,61 @@
+package graft.core
+
+/** Deterministic, partition-order-independent hashing used for all
+  * "randomness" in the engine (fixture generation, seeded sampling,
+  * minhash permutations, embedding synthesis).
+  *
+  * The reference seeds torch/np (`train_enhanced.py:49-53`) but leaves the
+  * global `random` module unseeded; we fix that design flaw by keying every
+  * random decision on a hash of (stable id, op tag) so results never depend
+  * on partition count, task order, or JVM identity hash.
+  *
+  * Uses the splitmix64 finalizer (public domain, Steele et al.,
+  * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14) over a
+  * simple byte-stream mix. Not cryptographic; stable across JVMs.
+  */
+object Hashing {
+
+  /** splitmix64 finalizer: a high-quality 64-bit mixer. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hash a string with a seed; stable across JVMs (iterates code points as
+    * chars — sufficient for stability, we never need cross-language parity).
+    */
+  def hashString(s: String, seed: Long = 0L): Long = {
+    var h = mix64(seed ^ 0xA0761D6478BD642FL)
+    var i = 0
+    while (i < s.length) {
+      h = mix64(h ^ s.charAt(i).toLong)
+      i += 1
+    }
+    mix64(h ^ s.length.toLong)
+  }
+
+  def hash2(a: Long, b: Long): Long = mix64(mix64(a) ^ b)
+
+  /** Uniform double in [0, 1) from a hash. */
+  def uniformDouble(h: Long): Double =
+    (h >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Deterministic pick of an index in [0, n). */
+  def pick(h: Long, n: Int): Int = {
+    require(n > 0)
+    val m = h % n
+    (if (m < 0) m + n else m).toInt
+  }
+
+  /** Deterministic unit-ish embedding of dimension `dim` from a key.
+    * Components in [-1, 1); used for synthetic lexicon/context embeddings.
+    */
+  def embedding(key: String, dim: Int, seed: Long = 0L): Array[Float] = {
+    val base = hashString(key, seed)
+    Array.tabulate(dim) { i =>
+      (uniformDouble(mix64(base + i)) * 2.0 - 1.0).toFloat
+    }
+  }
+}

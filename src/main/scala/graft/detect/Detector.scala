@@ -1,0 +1,268 @@
+package graft.detect
+
+import graft.core.{Bio, Mention, Sentence}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The batched mention detector — the Spark re-architecture of the
+  * reference's sequence-model kernel (`bert_crf_model.py:61-116`,
+  * batch loop `predict_enhanced.py:341-353`).
+  *
+  * Architecture (SURVEY.md §2.3): a typed `Dataset[Sentence]` flows through
+  * ONE `mapPartitions` that (a) groups rows into batches exactly like the
+  * reference's `texts[i:i+batch_size]` slices, (b) tokenizes per character
+  * (Chinese clinical text is char-level in the reference, `utils.py:56-84`),
+  * (c) computes per-position per-label emission scores from broadcast
+  * gazetteer features (replacing the BERT forward pass — same output
+  * contract: seq_len × num_labels floats), (d) runs a BIO-constrained
+  * Viterbi decode (the `crf.decode` analog, `bert_crf_model.py:112-116`),
+  * and (e) converts tags to mentions with `Bio.decodeBio`
+  * (`predict_enhanced.py:282-326`).
+  *
+  * Everything the task needs is broadcast once (gazetteer + transition
+  * matrix); the map is pure, so the operator scales linearly with input
+  * partitions and never shuffles.
+  */
+object Detector {
+
+  val NumLabels: Int = Bio.Labels.length
+  private val labelArr: Array[String] = Bio.Labels.toArray
+  private val oId: Int = Bio.OId
+  private val bId: Map[String, Int] =
+    Bio.EntityTypes.map(t => t -> Bio.LabelToId("B-" + t)).toMap
+  private val iId: Map[String, Int] =
+    Bio.EntityTypes.map(t => t -> Bio.LabelToId("I-" + t)).toMap
+
+  /** BIO-constraint transition matrix (the analog of trained CRF
+    * transitions, `bert_crf_model.py:93-116`): 0 for legal transitions,
+    * -1e9 for structurally invalid ones (O→I-X, B-X→I-Y, I-X→I-Y,
+    * start→I-X). Static because the label grammar, not the data, defines
+    * legality; emission scores carry all data signal.
+    */
+  val transitions: Array[Array[Float]] = {
+    val t = Array.fill(NumLabels + 1, NumLabels)(0f) // row NumLabels = start
+    val neg = -1e9f
+    for (j <- 0 until NumLabels) {
+      val to = labelArr(j)
+      if (to.startsWith("I-")) {
+        val tpe = to.substring(2)
+        for (i <- 0 until NumLabels) {
+          val from = labelArr(i)
+          val ok = (from == "B-" + tpe) || (from == "I-" + tpe)
+          if (!ok) t(i)(j) = neg
+        }
+        t(NumLabels)(j) = neg // can't start with I-
+      }
+    }
+    t
+  }
+
+  /** Gazetteer: longest-match dictionary features. `surfaces` maps a
+    * surface form to its entity type; `maxLen` bounds the match scan.
+    */
+  case class Gazetteer(surfaces: Map[String, String], maxLen: Int)
+      extends Serializable
+
+  object Gazetteer {
+    def apply(entries: Iterable[(String, String)]): Gazetteer = {
+      val m = entries.toMap
+      val maxLen = if (m.isEmpty) 1 else m.keysIterator.map(_.length).max
+      Gazetteer(m, math.min(maxLen, 32))
+    }
+  }
+
+  /** Emission scoring (K2): per position, per label. Gazetteer greedy
+    * longest-match (the reference's dictionary-probe analog,
+    * `data_augmentation.py:66,126`) stamps strong B-/I- scores over the
+    * matched range; everything else gets an O prior. Output contract
+    * matches the reference emission tensor: len × numLabels.
+    */
+  def emissions(chars: Array[String], gaz: Gazetteer): Array[Array[Float]] = {
+    val n = chars.length
+    val em = Array.fill(n, NumLabels)(0f)
+    var i = 0
+    while (i < n) { em(i)(oId) = 2.0f; i += 1 }
+    i = 0
+    while (i < n) {
+      // longest gazetteer match starting at i
+      var l = math.min(gaz.maxLen, n - i)
+      var matched = 0
+      var mtype: String = null
+      while (l >= 1 && matched == 0) {
+        val cand = new StringBuilder
+        var k = 0
+        while (k < l) { cand.append(chars(i + k)); k += 1 }
+        gaz.surfaces.get(cand.toString) match {
+          case Some(t) => matched = l; mtype = t
+          case None    =>
+        }
+        l -= 1
+      }
+      if (matched > 0) {
+        em(i)(bId(mtype)) = 8.0f
+        var k = 1
+        while (k < matched) { em(i + k)(iId(mtype)) = 8.0f; k += 1 }
+        i += matched // greedy non-overlapping, like jieba longest-match
+      } else {
+        i += 1
+      }
+    }
+    em
+  }
+
+  /** Viterbi decode (K4) — hand-written `crf.decode` analog. O(len·L²)
+    * with L=13; returns best label-id path.
+    */
+  def viterbi(em: Array[Array[Float]]): Array[Int] = {
+    val n = em.length
+    if (n == 0) return Array.empty
+    val L = NumLabels
+    val dp = Array.ofDim[Float](n, L)
+    val bp = Array.ofDim[Int](n, L)
+    var j = 0
+    while (j < L) { dp(0)(j) = transitions(L)(j) + em(0)(j); j += 1 }
+    var i = 1
+    while (i < n) {
+      j = 0
+      while (j < L) {
+        var best = Float.NegativeInfinity
+        var arg = 0
+        var k = 0
+        while (k < L) {
+          val s = dp(i - 1)(k) + transitions(k)(j)
+          if (s > best) { best = s; arg = k }
+          k += 1
+        }
+        dp(i)(j) = best + em(i)(j)
+        bp(i)(j) = arg
+        j += 1
+      }
+      i += 1
+    }
+    var best = Float.NegativeInfinity
+    var arg = 0
+    j = 0
+    while (j < L) { if (dp(n - 1)(j) > best) { best = dp(n - 1)(j); arg = j }; j += 1 }
+    val path = new Array[Int](n)
+    path(n - 1) = arg
+    i = n - 1
+    while (i > 0) { path(i - 1) = bp(i)(path(i)); i -= 1 }
+    path
+  }
+
+  /** Per-position confidence: softmax(emission)[chosen] — the reference's
+    * confidence calc (`model_explainability.py:213-218`).
+    */
+  private def confidences(em: Array[Array[Float]], path: Array[Int]): Array[Double] = {
+    val out = new Array[Double](path.length)
+    var i = 0
+    while (i < path.length) {
+      var mx = Float.NegativeInfinity
+      var j = 0
+      while (j < NumLabels) { if (em(i)(j) > mx) mx = em(i)(j); j += 1 }
+      var z = 0.0
+      j = 0
+      while (j < NumLabels) { z += math.exp((em(i)(j) - mx).toDouble); j += 1 }
+      out(i) = math.exp((em(i)(path(i)) - mx).toDouble) / z
+      i += 1
+    }
+    out
+  }
+
+  /** Char-level tokenizer (K1). The reference's BERT tokenizer is
+    * char-level for Chinese (`utils.py:56-84`); here it is the identity
+    * over characters, with max-length truncation matching `config.py:14` /
+    * `utils.py:63-65`.
+    */
+  def tokenize(text: String, maxLen: Int = 128): Array[String] = {
+    val n = math.min(text.length, maxLen)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = text.charAt(i).toString; i += 1 }
+    out
+  }
+
+  /** Decode one sentence with the full kernel (K1→K2→K4→C1). */
+  def detectOne(s: Sentence, gaz: Gazetteer, maxLen: Int): Seq[Mention] = {
+    val chars = tokenize(s.text, maxLen)
+    if (chars.isEmpty) return Nil
+    val em = emissions(chars, gaz)
+    val path = viterbi(em)
+    val conf = confidences(em, path)
+    val tags = path.map(labelArr)
+    Bio.decodeBio(
+      chars.toIndexedSeq,
+      tags.toIndexedSeq,
+      confOf = (a, b) => {
+        var sum = 0.0; var i = a
+        while (i < b) { sum += conf(i); i += 1 }
+        if (b > a) sum / (b - a) else 1.0
+      }
+    ).map { case (tpe, text, start, end, c) =>
+      Mention(s.doc_id, s.span_idx, tpe, text, start, end, c)
+    }
+  }
+
+  /** The batched mapPartitions detector over a typed Dataset — one narrow
+    * map stage, batches of `batchSize` like the reference's
+    * `texts[i:i+batch_size]` (`predict_enhanced.py:341-343`).
+    */
+  def detect(
+      sentences: Dataset[Sentence],
+      gazBc: Broadcast[Gazetteer],
+      batchSize: Int = 32,
+      maxLen: Int = 128): Dataset[Mention] = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    sentences.mapPartitions { it =>
+      val gaz = gazBc.value
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap(s => detectOne(s, gaz, maxLen))
+      }
+    }
+  }
+
+  /** Gold-emission variant: tags are given (parity-by-construction path for
+    * fixture/eval corpora — SURVEY.md §7.3). Runs the same Viterbi over
+    * one-hot emissions so the CRF layer is still exercised.
+    */
+  def detectFromTags(
+      tagged: Dataset[graft.core.TaggedSentence],
+      batchSize: Int = 32): Dataset[Mention] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { ts =>
+          val chars = ts.chars.toArray
+          val n = chars.length
+          val em = Array.fill(n, NumLabels)(0f)
+          var i = 0
+          while (i < n) {
+            val id = Bio.LabelToId.getOrElse(ts.tags(i), oId)
+            em(i)(id) = 8.0f
+            i += 1
+          }
+          val path = if (n == 0) Array.empty[Int] else viterbi(em)
+          val conf = confidences(em, path)
+          val tags = path.map(labelArr)
+          Bio.decodeBio(
+            chars.toIndexedSeq,
+            tags.toIndexedSeq,
+            confOf = (a, b) => {
+              var sum = 0.0; var k = a
+              while (k < b) { sum += conf(k); k += 1 }
+              if (b > a) sum / (b - a) else 1.0
+            }
+          ).map { case (tpe, text, start, end, c) =>
+            Mention(ts.doc_id, ts.span_idx, tpe, text, start, end, c)
+          }
+        }
+      }
+    }
+  }
+
+  /** Broadcast helper. */
+  def broadcastGazetteer(spark: SparkSession, entries: Iterable[(String, String)]): Broadcast[Gazetteer] =
+    spark.sparkContext.broadcast(Gazetteer(entries))
+}

@@ -1,0 +1,112 @@
+package graft.link
+
+import graft.core.{Hashing, LexiconEntry, LinkedMention, Mention}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity linking: blocking-key candidate generation + broadcast lexicon
+  * join + context-embedding dot-product scoring + argmax per mention.
+  *
+  * The reference's only "linking" is a dictionary membership probe
+  * (`data_augmentation.py:66,77,126`); the north_star upgrades it to a
+  * candidate-scored link. Plan shape (all Catalyst-native):
+  *
+  *   mentions --explode blocking keys--> (key, mention)
+  *       ⋈ broadcast(lexicon keyed the same way)        [J1+J2]
+  *       --score: exact-surface boost + dot(ctx_emb, concept_emb)  [UDF]
+  *       --row_number over (mention) ordered by score desc --> best
+  *
+  * The lexicon side is always broadcast (small by contract); the mention
+  * side never shuffles for the join, only for the per-mention argmax —
+  * and that argmax window is partitioned by the mention key so it scales
+  * with mentions, no skew (every mention has ≤ a few dozen candidates).
+  */
+object Linker {
+
+  val EmbeddingDim: Int = graft.data.Lexicon.EmbeddingDim
+
+  /** Deterministic context embedding for a mention: hashed char n-grams.
+    * Stand-in for an encoder embedding; identical plumbing (array<float>
+    * column, dot-product scoring).
+    */
+  def contextEmbedding(text: String): Array[Float] = {
+    val acc = new Array[Float](EmbeddingDim)
+    if (text.isEmpty) return acc
+    var i = 0
+    while (i < text.length) {
+      val g2 = text.substring(i, math.min(i + 2, text.length))
+      val h = Hashing.hashString(g2, 0x5EED)
+      var d = 0
+      while (d < EmbeddingDim) {
+        acc(d) += (Hashing.uniformDouble(Hashing.mix64(h + d)) * 2 - 1).toFloat
+        d += 1
+      }
+      i += 1
+    }
+    val norm = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat
+    if (norm > 0) acc.map(_ / norm) else acc
+  }
+
+  /** Blocking keys for a surface: (first char + length bucket) and a
+    * 2-char-prefix key. Multiple keys raise candidate recall; `explode`
+    * keeps it a narrow op.
+    */
+  def blockingKeys(text: String): Seq[String] = {
+    if (text.isEmpty) Seq.empty
+    else {
+      val lenBucket = math.min(text.length, 8)
+      val k1 = s"${text.charAt(0)}#$lenBucket"
+      val k2 = if (text.length >= 2) text.substring(0, 2) + "#p" else k1
+      Seq(k1, k2).distinct
+    }
+  }
+
+  private val blockingKeysUdf = udf((s: String) => blockingKeys(s))
+  private val ctxEmbUdf = udf((s: String) => contextEmbedding(s))
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Link each mention to its best lexicon concept (left join semantics:
+    * mentions with no candidate survive with null concept — they feed
+    * canonicalization as surface-only nodes).
+    */
+  def link(mentions: Dataset[Mention], lexicon: Dataset[LexiconEntry]): Dataset[LinkedMention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    val m = mentions
+      .withColumn("ctx_emb", ctxEmbUdf($"text"))
+      .withColumn("bkey", explode(blockingKeysUdf($"text")))
+
+    val lex = lexicon
+      .withColumn("bkey", explode(blockingKeysUdf($"surface")))
+      .select($"bkey", $"concept_id", $"surface", $"entity_type".as("lex_type"), $"embedding")
+
+    val scored = m
+      .join(broadcast(lex), m("bkey") === lex("bkey") && m("entity_type") === lex("lex_type"), "left")
+      .withColumn(
+        "link_score",
+        when($"concept_id".isNull, lit(Double.MinValue))
+          .otherwise(
+            when($"surface" === $"text", lit(10.0)).otherwise(lit(0.0)) +
+              dotUdf($"ctx_emb", $"embedding")))
+
+    val w = Window
+      .partitionBy($"doc_id", $"span_idx", $"start", $"end", $"entity_type")
+      .orderBy($"link_score".desc, $"concept_id".asc_nulls_last)
+
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"doc_id", $"span_idx", $"entity_type", $"text", $"start", $"end", $"confidence",
+        coalesce($"concept_id", concat(lit("S:"), $"text")).as("concept_id"),
+        when($"link_score" === Double.MinValue, lit(0.0)).otherwise($"link_score").as("link_score"))
+      .as[LinkedMention]
+  }
+}

@@ -1,0 +1,80 @@
+package graft.metrics
+
+import graft.core.{Mention, TypeMetrics}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Span-level precision/recall/F1 — the seqeval-micro semantics the
+  * reference evaluates with (`evaluate.py:310-337`): a true positive is an
+  * EXACT match on (sentence, start, end, entity type); precision = TP/#pred,
+  * recall = TP/#gold; per-type rows plus micro / macro / weighted averages
+  * mirroring `checkpoints/best_classification_report.txt`.
+  *
+  * Implemented as joins + one aggregation — no collect on the data path:
+  *   tp   = pred ⋈ gold (inner on exact span key) per type
+  *   pred = groupBy(type).count ; gold = groupBy(type).count
+  * Catalyst gives partial aggregation; the join key includes doc_id so it
+  * is high-cardinality and shuffle-balanced.
+  */
+object SpanMetrics {
+
+  private val keyCols = Seq("doc_id", "span_idx", "start", "end", "entity_type")
+
+  def perType(pred: Dataset[Mention], gold: Dataset[Mention]): Dataset[TypeMetrics] = {
+    val spark = pred.sparkSession
+    import spark.implicits._
+
+    val p = pred.select(keyCols.map(col): _*).distinct()
+    val g = gold.select(keyCols.map(col): _*).distinct()
+
+    val tp = p.join(g, keyCols, "inner").groupBy("entity_type").agg(count(lit(1)).as("tp"))
+    val pc = p.groupBy("entity_type").agg(count(lit(1)).as("pred_count"))
+    val gc = g.groupBy("entity_type").agg(count(lit(1)).as("gold_count"))
+
+    pc.join(gc, Seq("entity_type"), "full_outer")
+      .join(tp, Seq("entity_type"), "left")
+      .select(
+        col("entity_type"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("pred_count"), lit(0L)).as("pred_count"),
+        coalesce(col("gold_count"), lit(0L)).as("gold_count"))
+      .withColumn("precision", when(col("pred_count") > 0, col("tp") / col("pred_count")).otherwise(lit(0.0)))
+      .withColumn("recall", when(col("gold_count") > 0, col("tp") / col("gold_count")).otherwise(lit(0.0)))
+      .withColumn(
+        "f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+      .as[TypeMetrics]
+  }
+
+  /** Micro-average row (seqeval overall metrics, `evaluate.py:310-313`). */
+  def micro(perType: Dataset[TypeMetrics]): TypeMetrics = {
+    val spark = perType.sparkSession
+    import spark.implicits._
+    val (tp, pc, gc) = perType
+      .select(sum($"tp"), sum($"pred_count"), sum($"gold_count"))
+      .as[(Option[Long], Option[Long], Option[Long])]
+      .head() match {
+      case (a, b, c) => (a.getOrElse(0L), b.getOrElse(0L), c.getOrElse(0L))
+    }
+    val p = if (pc > 0) tp.toDouble / pc else 0.0
+    val r = if (gc > 0) tp.toDouble / gc else 0.0
+    val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+    TypeMetrics("micro", tp, pc, gc, p, r, f1)
+  }
+
+  /** Token-level confusion matrix over entity types with BIO prefix
+    * stripped and `O` included (`evaluate.py:472-493`): rows of
+    * (gold_type, pred_type, count).
+    */
+  def confusion(pairs: DataFrame): DataFrame = {
+    // pairs: (gold_tag: string, pred_tag: string) per kept token position
+    val strip = (c: String) =>
+      when(col(c) === "O", lit("O")).otherwise(expr(s"substring($c, 3)"))
+    pairs
+      .select(strip("gold_tag").as("gold_type"), strip("pred_tag").as("pred_type"))
+      .groupBy("gold_type", "pred_type")
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.assemble.Triples
+import graft.canon.Canon
+import graft.core._
+import graft.data.Lexicon
+import graft.detect.Detector
+import graft.link.Linker
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG-construction pipeline (north_star):
+  *
+  *   docs (interleaved text+media)
+  *     → explode text spans (media spans pass through untouched — the
+  *       span-sequence invariant is checked by `spanSignature`)
+  *     → repartition by hash(doc_id)                  [north_rule]
+  *     → batched mapPartitions mention detector       [Detector]
+  *     → broadcast-lexicon link                       [Linker]
+  *     → connected-components canonicalization        [Canon]
+  *     → relation assembly → triples                  [Triples]
+  *
+  * All stages are Dataset/DataFrame transformations; the only
+  * Catalyst-opaque region is the detector kernel, kept late so scan
+  * pruning/pushdown happen first.
+  */
+object KgPipeline {
+
+  /** Text spans → sentences. `posexplode` keeps the span's array position
+    * so span order is never lost; media spans are filtered here but the
+    * docs table itself is untouched (the invariant is over the input rows).
+    */
+  def sentences(docs: Dataset[Doc]): Dataset[Sentence] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", posexplode($"spans").as(Seq("span_idx", "span")))
+      .filter($"span.kind" === "text" && length($"span.text") > 0)
+      .select($"doc_id", $"span_idx", $"span.text".as("text"))
+      .as[Sentence]
+  }
+
+  /** The per-row span-sequence signature: (kind, text, media_ref, order)
+    * per doc — equality of this column before/after any stage proves the
+    * invariant the north_star requires.
+    */
+  def spanSignature(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      sha2(
+        to_json(
+          transform(col("spans"), s =>
+            struct(s.getField("kind"), s.getField("text"), s.getField("media_ref"), s.getField("offset")))),
+        256).as("span_sig"))
+
+  def detectMentions(
+      docs: Dataset[Doc],
+      gazetteer: Iterable[(String, String)],
+      numPartitions: Int = 0): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    val sents0 = sentences(docs)
+    // explicit repartition by doc_id hash (north_rule) — co-locates a doc's
+    // sentences and evens the load before the CPU-bound detector
+    val sents =
+      if (numPartitions > 0) sents0.repartition(numPartitions, col("doc_id"))
+      else sents0.repartition(col("doc_id"))
+    val gazBc = Detector.broadcastGazetteer(spark, gazetteer)
+    Detector.detect(sents, gazBc)
+  }
+
+  /** Full pipeline: docs + lexicon → canonicalized triples. */
+  def run(
+      docs: Dataset[Doc],
+      lexicon: Dataset[LexiconEntry],
+      numPartitions: Int = 0): Dataset[Triple] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gaz = Lexicon.gazetteerEntries(lexicon)
+    val mentions = detectMentions(docs, gaz, numPartitions)
+    val linked = Linker.link(mentions, lexicon)
+    // canonicalization graph: surface node ↔ concept node per linked mention
+    val edges = linked
+      .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
+      .distinct()
+    val components = Canon.connectedComponents(edges)
+    val triples = Triples.assemble(linked)
+    Triples.canonicalize(triples, components)
+  }
+}
