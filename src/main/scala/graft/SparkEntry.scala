@@ -1,13 +1,320 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Doc
+import graft.data.{DocsGen, Lexicon}
+import graft.detect.Detector
+import graft.link.Linker
+import graft.metrics.SpanMetrics
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.KgPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + training-data-pipeline ops), with DuckDB
+  * oracle SQL for every SQL-expressible one. Column names are aligned
+  * between the Spark result and the oracle, every float is rounded, and
+  * every query ends in a deterministic ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Synthetic docs-scale per sf dir: sf0.001→300, sf0.01→3000, sf0.1→30000. */
+  private def synthDocs(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max((300000 * sf).toLong, 100L)
+  }
+
+  private def goldAndDocs(spark: SparkSession, dir: String) = {
+    val g = DocsGen.gen(spark, synthDocs(dir), seed = 42L)
+    (g, DocsGen.docs(g))
+  }
+
+  private def lexicon(spark: SparkSession) = {
+    import spark.implicits._
+    Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = DocsGen.docs(DocsGen.gen(spark, 300, seed = 42L))
+    KgPipeline.run(docs, lexicon(spark)).toDF()
+      .orderBy("subj", "pred", "obj", "doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------------- KG pipeline (non-SQL ops: rows-only checks)
+    "kg_triples" -> ((s, dir) => {
+      import s.implicits._
+      val (_, docs) = goldAndDocs(s, dir)
+      KgPipeline.run(docs, lexicon(s)).toDF().orderBy("subj", "pred", "obj", "doc_id")
+    }),
+    "kg_mentions" -> ((s, dir) => {
+      val (_, docs) = goldAndDocs(s, dir)
+      KgPipeline.detectMentions(docs, DocsGen.vocabEntries).toDF()
+        .withColumn("confidence", round(col("confidence"), 6))
+        .orderBy("doc_id", "span_idx", "start")
+    }),
+    "kg_linked" -> ((s, dir) => {
+      val (_, docs) = goldAndDocs(s, dir)
+      val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      Linker.link(mentions, lexicon(s)).toDF()
+        .withColumn("confidence", round(col("confidence"), 6))
+        .withColumn("link_score", round(col("link_score"), 6))
+        .orderBy("doc_id", "span_idx", "start")
+    }),
+    "kg_components" -> ((s, dir) => {
+      val (_, docs) = goldAndDocs(s, dir)
+      val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      val linked = Linker.link(mentions, lexicon(s))
+      val edges = linked.toDF()
+        .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
+        .distinct()
+      graft.canon.Canon.connectedComponents(edges).orderBy("node")
+    }),
+    "kg_span_metrics" -> ((s, dir) => {
+      val (g, docs) = goldAndDocs(s, dir)
+      val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      SpanMetrics.perType(pred, DocsGen.goldMentions(g)).toDF()
+        .withColumn("precision", round(col("precision"), 6))
+        .withColumn("recall", round(col("recall"), 6))
+        .withColumn("f1", round(col("f1"), 6))
+        .orderBy("entity_type")
+    }),
+    "kg_bio_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val (g, _) = goldAndDocs(s, dir)
+      // detect from gold tags (CRF path) then re-encode: parity-by-construction
+      Detector.detectFromTags(DocsGen.goldSentences(g)).toDF()
+        .groupBy("entity_type").agg(count(lit(1)).as("n"))
+        .orderBy("entity_type")
+    }),
+
+    // ---------------------------------------------------------------- relational core (oracle-checked)
+    "q_lineitem_pricing" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_orders_by_nation" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+    "q_events_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      e.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 6).as("value"), col("rank"))
+        .orderBy("user_id", "rank")
+    }),
+    "q_orders_no_lineitem" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_part_topk_per_brand" -> ((s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      p.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("p_brand"), col("p_partkey"), round(col("p_retailprice"), 2).as("p_retailprice"), col("rank"))
+        .orderBy("p_brand", "rank")
+    }),
+    "q_supplier_balance" -> ((s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val n = s.read.parquet(t(dir, "nation"))
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("s_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name")
+    }),
+
+    // ---------------------------------------------------------------- text-analysis ops (oracle-checked)
+    "q_docs_dedup_exact" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+    }),
+    "q_docs_token_count" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_docs_quality" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      TextAnalysis.qualityFeatures(d, col("text"))
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score")
+        .orderBy("doc_id")
+    }),
+    "q_docs_lang_dist" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("lang").agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+    "q_docs_stats" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source")
+    }),
+    "q_ann_brute_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---------------------------------------------------------------- dedup / similarity / multimodal (rows-only)
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(s.read.parquet(t(dir, "documents")), "text", "doc_id", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
+    }),
+    "dedup_ngram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), "text", "doc_id", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_embedding_neardup" -> ((s, dir) => {
+      // the synthetic embeddings have no natural near-dups (max pairwise
+      // cosine ≈ 0.51), so plant deterministic perturbed copies and verify
+      // the LSH-bucketed detector recovers them
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val perturb = udf((id: Long, v: Seq[Float]) => v.zipWithIndex.map { case (x, i) =>
+        x + (graft.core.Hashing.uniformDouble(graft.core.Hashing.hash2(id, i)) * 0.02 - 0.01).toFloat
+      })
+      val planted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), perturb(col("vec_id"), col("embedding")).as("embedding"))
+      Dedup.embeddingNearDupPairs(
+        e.select("vec_id", "embedding").union(planted),
+        "embedding", "vec_id", dim = 64, threshold = 0.98)
+        .orderBy("id_a", "id_b")
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "docs_langid" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.languageIdUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "docs_fingerprint" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val (_, docs) = goldAndDocs(s, dir)
+      Multimodal.decode(Multimodal.mediaTable(docs)).toDF()
+        .select(col("doc_id"), col("span_idx"), col("kind"), col("media_ref"),
+          col("meta.width"), col("meta.height"), col("meta.sample_rate"), col("meta.format"),
+          round(element_at(col("features"), 1), 5).as("f0"))
+        .orderBy("doc_id", "span_idx")
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL over the same parquet tables. Every name
+    * and row order matches the Spark result exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_orders_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_events_topk" ->
+      """SELECT user_id, event_id, event_type, round(value, 6) AS value, rank FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events) WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
+    "q_orders_no_lineitem" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_part_topk_per_brand" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rank FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+        |  FROM part) WHERE rank <= 3
+        |ORDER BY p_brand, rank""".stripMargin,
+    "q_supplier_balance" ->
+      """SELECT n_name, round(sum(s_acctbal), 2) AS total_bal, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_docs_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
+        |  count(*) - count(DISTINCT text) AS n_exact_dups FROM documents""".stripMargin,
+    "q_docs_token_count" ->
+      """SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(string_split(trim(text), ' '),
+        |        t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+        |        / greatest(len(string_split(trim(text), ' ')), 1), 6) AS stopword_ratio,
+        |  round((length(text) - (len(string_split(trim(text), ' ')) - 1)) * 1.0
+        |        / greatest(len(string_split(trim(text), ' ')), 1), 6) AS mean_word_len,
+        |  round(least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.5
+        |    + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+        |          / greatest(length(text), 1), 6) * 10, 1.0)) * 0.25
+        |    + least(round(len(list_filter(string_split(trim(text), ' '),
+        |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+        |          / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_lang_dist" ->
+      """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_docs_stats" ->
+      """SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(cv, qv) / greatest(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 1e-12) AS cos_raw
+        |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.core.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - Exact dedup groups on `xxhash64(text)` (8 bytes) not the text itself,
+  *    so the shuffle carries hashes, not documents.
+  *  - MinHash/LSH candidate generation is an equi-join on (band, bucket) —
+  *    never an all-pairs product. Bucket hotspots (boilerplate docs) are
+  *    bounded by `maxBucket` before pairing.
+  *  - The n-gram inverted index drops n-grams with document frequency >
+  *    `maxDf` (stopword shingles would otherwise create quadratic pair
+  *    blowup on hub shingles — same skew issue as hub entities in CC).
+  */
+object Dedup {
+
+  /** Exact duplicates: groups of identical `textCol` with ≥2 members.
+    * Returns (text_hash, n_docs, min_doc_id) — small output, shuffle on
+    * 8-byte hashes with map-side partial aggregation.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Exact dedup: keep the smallest id per distinct text. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Word w-shingles of a text (lowercased, whitespace-split). */
+  def shingles(text: String, w: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else toks.sliding(w).map(_.mkString(" ")).toArray
+  }
+
+  /** k-permutation MinHash signature over word shingles. */
+  def minhashSignature(text: String, k: Int, w: Int): Array[Long] = {
+    val sh = shingles(text, w)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = Hashing.hashString(sh(i))
+      var j = 0
+      while (j < k) {
+        val h = Hashing.mix64(base ^ (0x9E3779B97F4A7C15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    *         fraction of equal signature components, filtered ≥ threshold.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sigUdf = udf((s: String) => minhashSignature(if (s == null) "" else s, k, shingleWidth))
+
+    val sigs = df
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .persist()
+
+    // band buckets: hash of each signature slice
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+        .as(Seq("band", "bucket")))
+
+    // prune pathological buckets (boilerplate) before pairing
+    val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+    val pruned = banded
+      .join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
+
+    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0),
+          (acc, x) => acc + x) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { t =>
+      if (t.nonEmpty) {
+        val h = Hashing.hashString(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((s: String) => simhash(if (s == null) "" else s))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Blocking: split the 64-bit hash into (maxHamming+1) bands — any pair
+    * within the distance bound must agree exactly on ≥1 band (pigeonhole),
+    * so candidates come from an equi-join on (band, band_value).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sh = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val bandCols = (0 until nBands).map { b =>
+      shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = sh.select(
+      col("id"), col("sh"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bval")))
+    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity via an inverted index — fully
+    * relational (explode → df-filter → self-join on shingle → count):
+    *
+    *   |A∩B| = # shared distinct shingles;  |A∪B| = |A| + |B| - |A∩B|
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val shUdf = udf((s: String) => shingles(if (s == null) "" else s, w).distinct)
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shUdf(col(textCol))).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle"))) // shuffle hashes, not strings
+      .persist()
+
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfilter = exploded
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf) // hub shingles pruned: skew guard
+
+    val idx = exploded.join(dfilter.select("shingle"), Seq("shingle"))
+    val inter = idx
+      .join(idx.withColumnRenamed("id", "id_b"), Seq("shingle"))
+      .filter(col("id") < col("id_b"))
+      .groupBy(col("id").as("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding cosine near-duplicate pairs, LSH-bucketed: random-hyperplane
+    * sign bits (deterministic planes) form the blocking key; exact cosine
+    * verifies candidates. `planes` trades recall vs bucket size.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      planes: Int = 8): DataFrame = {
+    val planeVecs: Array[Array[Double]] =
+      Array.tabulate(planes)(p => Array.tabulate(dim)(d =>
+        Hashing.uniformDouble(Hashing.hash2(0xB17, p * 1024 + d)) * 2 - 1))
+    val signUdf = udf((v: Seq[Float]) => {
+      var key = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0; var d = 0
+        val n = math.min(dim, v.length)
+        while (d < n) { dot += planeVecs(p)(d) * v(d); d += 1 }
+        if (dot >= 0) key |= (1L << p)
+        p += 1
+      }
+      key
+    })
+    val dotCol = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", signUdf(col("v")))
+      .withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
+    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dotCol(col("v_a"), col("v_b")) / greatest(col("n_a") * col("n_b"), lit(1e-12)), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, and
+  * document fingerprinting over a `documents(doc_id, text, ...)` table.
+  *
+  * Everything here is pure Column expressions (whole-stage codegen) except
+  * the n-gram language scorer, which is a deterministic Scala UDF over a
+  * broadcast profile map — scalar, no shuffle, applied post-scan so column
+  * pruning still reaches parquet.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count — `size(split(...))` stays in codegen. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: alnum runs + each punctuation char counts as a
+    * token (a cheap deterministic proxy for a BPE vocab's behavior).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), c => length(trim(c)) > 0))
+
+  /** Quality features + a composite score in [0,1]:
+    * length band, punctuation ratio, stopword ratio, mean word length.
+    * Deterministic arithmetic only — oracle-checkable in ANSI SQL.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = split(trim(text), "\\s+")
+    val nTok = size(toks)
+    val nChar = length(text)
+    val nPunct = nChar - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio", round(nPunct.cast("double") / greatest(nChar, lit(1)), 6))
+      .withColumn("stopword_ratio", round(nStop.cast("double") / greatest(nTok, lit(1)), 6))
+      .withColumn("mean_word_len",
+        round((nChar - (nTok - lit(1))).cast("double") / greatest(nTok, lit(1)), 6))
+      .withColumn("quality_score",
+        round(
+          least(nTok.cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+            + (lit(1.0) - least(col("punct_ratio") * 10, lit(1.0))) * lit(0.25)
+            + least(col("stopword_ratio") * 5, lit(1.0)) * lit(0.25),
+          6))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the document text (Rabin-Karp
+    * style, base 257 mod 2^61-1), plus windowed shingle fingerprints for
+    * containment checks. Pure function → UDF (one long per row; cheap).
+    */
+  val FingerprintMod: Long = (1L << 61) - 1
+
+  def fingerprint(text: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      // multiply-add in 128-bit via Math.multiplyHigh-free route: use
+      // BigInt-free split multiplication mod 2^61-1
+      h = mulMod(h, 257L) + text.charAt(i).toLong
+      if (h >= FingerprintMod) h -= FingerprintMod
+      i += 1
+    }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    // (a*b) mod 2^61-1 with 128-bit intermediate
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold: x mod (2^61-1) where x = hi*2^64 + lo
+    val x = (lo & FingerprintMod) + ((lo >>> 61) | (hi << 3)) + (hi >>> 58)
+    val y = (x & FingerprintMod) + (x >>> 61)
+    if (y >= FingerprintMod) y - FingerprintMod else y
+  }
+
+  val fingerprintUdf = udf((s: String) => fingerprint(if (s == null) "" else s))
+
+  /** Character n-gram language-ID: scores each language's profile by how
+    * many of the text's trigrams appear in a small per-language profile
+    * (top trigrams of common function words). Deterministic heuristic —
+    * the real-world replacement is a fastText-style model; the Spark
+    * plumbing (broadcast profiles, scalar UDF post-scan) is identical.
+    */
+  val LangProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to", "to ", " is", "is "),
+    "es" -> Set(" de", "de ", " la", "la ", " el", "el ", "os ", " qu", "que", "ue ", " en", "en ", "ión"),
+    "fr" -> Set(" le", "le ", " de", "de ", " et", "et ", " la", "la ", "es ", " un", "un ", "ent", " à "),
+    "de" -> Set(" de", "der", "er ", " un", "und", "nd ", " di", "die", "ie ", "ch ", "ein", "sch", " zu"),
+    "zh" -> Set("的", "了", "在", "是", "和", "有", "不", "人", "这", "中")
+  )
+
+  def languageId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val t = " " + text.toLowerCase + " "
+    var best = "und"
+    var bestScore = 0.0
+    LangProfiles.foreach { case (lang, profile) =>
+      var hits = 0
+      profile.foreach { g =>
+        var idx = t.indexOf(g)
+        while (idx >= 0) { hits += 1; idx = t.indexOf(g, idx + 1) }
+      }
+      val score = hits.toDouble / math.max(t.length, 1)
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    best
+  }
+
+  val languageIdUdf = udf((s: String) => languageId(s))
+}
