@@ -50,8 +50,19 @@ object Canon {
       .select(col("src").as("node"))
       .distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // convergence via label-set checksum: min-propagation is monotone, so
+    // the (node, component) multiset changes iff any label changed — one
+    // small aggregation per iteration instead of a join + count.
+    // decimal(38,0) accumulator: ANSI mode (Spark 4 default) rejects long
+    // overflow, and hash sums overflow immediately
+    def checksum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(xxhash64(col("node"), col("component")).cast("decimal(38,0)")))
+      .head()
+      .getDecimal(0)
+
+    var prevSum = checksum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -60,7 +71,10 @@ object Canon {
         .join(labels, bidirected("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
 
-      // salted two-phase min: (node, salt) partial → (node) final
+      // salted two-phase min: (node, salt) partial → (node) final.
+      // (Hash-agg partial combine already bounds hub fan-in per task; the
+      // explicit salt stage additionally bounds the per-key reduce even if
+      // a single grouping key exceeds one task's input.)
       val candidates = propagated.union(labels.select(col("node"), col("component")))
       val newLabels = candidates
         .withColumn("salt", pmod(xxhash64(col("component")), lit(saltBuckets)))
@@ -68,15 +82,13 @@ object Canon {
         .agg(min(col("component")).as("component"))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val changed = newLabels
-        .join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") < col("old"))
-        .limit(1)
-        .count()
-
-      labels = newLabels.localCheckpoint()
-      converged = changed == 0
+      val sum = checksum(newLabels)
+      labels.unpersist()
+      labels = newLabels
+      converged = sum == prevSum
+      prevSum = sum
       iter += 1
     }
     bidirected.unpersist()

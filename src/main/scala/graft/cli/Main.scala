@@ -59,9 +59,12 @@ object Main {
     }
     val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
     val triples = KgPipeline.run(docs, lex, args.partitions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (args.explain) triples.explain("formatted")
     triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
-    val n = spark.read.parquet(args.out).count()
+    // count the cached result, not a re-read: an all-empty run writes no
+    // part files and parquet schema inference would fail
+    val n = triples.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"graft-kg: $n%d triples -> ${args.out} in $sec%.1f s (${n / sec}%.0f triples/s)")
     spark.stop()

@@ -96,17 +96,24 @@ object Linker {
             when($"surface" === $"text", lit(10.0)).otherwise(lit(0.0)) +
               dotUdf($"ctx_emb", $"embedding")))
 
-    val w = Window
-      .partitionBy($"doc_id", $"span_idx", $"start", $"end", $"entity_type")
-      .orderBy($"link_score".desc, $"concept_id".asc_nulls_last)
+    // argmax per mention via min_by over (-score, concept_id): a single
+    // shuffle with map-side partial aggregation — beats a row_number window
+    // (full sort, no partial agg) at every scale.
+    val payload = struct(
+      $"text", $"confidence",
+      coalesce($"concept_id", concat(lit("S:"), $"text")).as("concept_id"),
+      when($"link_score" === Double.MinValue, lit(0.0)).otherwise($"link_score").as("link_score"))
+    val ordering = struct(
+      (-$"link_score").as("neg_score"),
+      coalesce($"concept_id", lit("\uffff")).as("tie"))
 
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+      .groupBy($"doc_id", $"span_idx", $"start", $"end", $"entity_type")
+      .agg(min_by(payload, ordering).as("best"))
       .select(
-        $"doc_id", $"span_idx", $"entity_type", $"text", $"start", $"end", $"confidence",
-        coalesce($"concept_id", concat(lit("S:"), $"text")).as("concept_id"),
-        when($"link_score" === Double.MinValue, lit(0.0)).otherwise($"link_score").as("link_score"))
+        $"doc_id", $"span_idx", $"entity_type", $"best.text".as("text"),
+        $"start", $"end", $"best.confidence".as("confidence"),
+        $"best.concept_id".as("concept_id"), $"best.link_score".as("link_score"))
       .as[LinkedMention]
   }
 }

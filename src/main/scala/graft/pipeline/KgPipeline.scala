@@ -77,7 +77,10 @@ object KgPipeline {
     import spark.implicits._
     val gaz = Lexicon.gazetteerEntries(lexicon)
     val mentions = detectMentions(docs, gaz, numPartitions)
+    // linked feeds both the canonicalization graph and triple assembly —
+    // persist so detect+link run exactly once
     val linked = Linker.link(mentions, lexicon)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // canonicalization graph: surface node ↔ concept node per linked mention
     val edges = linked
       .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
