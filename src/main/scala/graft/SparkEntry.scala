@@ -226,6 +226,62 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    // ---------------------------------------------------------------- aug / sinks / stats / streaming
+    "aug_corpus_tags" -> ((s, dir) => {
+      // augmentation dataflow (U1-U4): original ∪ augmented, tag counts
+      val (g, _) = goldAndDocs(s, dir)
+      val syn = Map("检查" -> IndexedSeq("查验", "检测"), "发现" -> IndexedSeq("查见"))
+      val ent = DocsGen.Vocab.map { case (k, v) => k -> v }
+      val aug = graft.aug.Augment.augmentCorpus(DocsGen.goldSentences(g), syn, ent)
+      import s.implicits._
+      aug.flatMap(_.tags).toDF("tag").groupBy("tag").agg(count(lit(1)).as("n")).orderBy("tag")
+    }),
+    "sink_json_records" -> ((s, dir) => {
+      val (g, docs) = goldAndDocs(s, dir)
+      graft.sinks.Formats.jsonRecords(KgPipeline.sentences(docs), DocsGen.goldMentions(g))
+        .orderBy("doc_id", "span_idx")
+    }),
+    "sink_markup" -> ((s, dir) => {
+      val (g, docs) = goldAndDocs(s, dir)
+      graft.sinks.Formats.markupText(KgPipeline.sentences(docs), DocsGen.goldMentions(g))
+        .orderBy("doc_id", "span_idx")
+    }),
+    "sink_bio" -> ((s, dir) => {
+      val (g, docs) = goldAndDocs(s, dir)
+      graft.sinks.Formats.bioText(KgPipeline.sentences(docs), DocsGen.goldMentions(g))
+        .orderBy("doc_id", "span_idx")
+    }),
+    "stats_label_dist" -> ((s, dir) => {
+      val (g, _) = goldAndDocs(s, dir)
+      graft.metrics.LabelStats.labelDistribution(DocsGen.goldSentences(g))
+    }),
+    "stats_length_hist" -> ((s, dir) => {
+      val (g, _) = goldAndDocs(s, dir)
+      graft.metrics.LabelStats.lengthHistogram(DocsGen.goldSentences(g))
+    }),
+    "ref_seqeval_metrics" -> ((s, dir) => {
+      // reference-parity metrics over the reference's own artifacts
+      // (golden values asserted in ReferenceParitySpec)
+      val refData = "/root/reference/data"
+      if (!new java.io.File(refData).isDirectory) s.emptyDataFrame
+      else {
+        val gold = graft.data.BioCorpus.readIndexed(s, s"$refData/test.txt")
+        val pred = graft.data.BioCorpus.readIndexed(s, "/root/reference/results/test_predictions.txt")
+        val (per, _) = graft.metrics.ReferenceEval.evaluate(gold, pred)
+        per.toDF()
+          .withColumn("precision", round(col("precision"), 6))
+          .withColumn("recall", round(col("recall"), 6))
+          .withColumn("f1", round(col("f1"), 6))
+          .orderBy("entity_type")
+      }
+    }),
+    "q_events_window_agg" -> ((s, dir) => {
+      graft.streaming.Streaming
+        .windowedEventCounts(s.read.parquet(t(dir, "events")))
+        .select(col("window_start").cast("long").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val (_, docs) = goldAndDocs(s, dir)
@@ -303,6 +359,10 @@ object SparkEntry {
     "q_docs_stats" ->
       """SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_events_window_agg" ->
+      """SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

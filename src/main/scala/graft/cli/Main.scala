@@ -20,7 +20,10 @@ object Main {
       out: String = "/tmp/graft_out",
       cores: Int = 0,
       partitions: Int = 0,
-      explain: Boolean = false)
+      explain: Boolean = false,
+      resumable: Boolean = false,
+      chunks: Int = 8,
+      stream: Boolean = false)
 
   def parse(argv: Array[String]): Args =
     argv.sliding(2, 2).foldLeft(Args()) {
@@ -29,6 +32,9 @@ object Main {
       case (a, Array("--cores", v)) => a.copy(cores = v.toInt)
       case (a, Array("--partitions", v)) => a.copy(partitions = v.toInt)
       case (a, Array("--explain", v)) => a.copy(explain = v.toBoolean)
+      case (a, Array("--resumable", v)) => a.copy(resumable = v.toBoolean)
+      case (a, Array("--chunks", v)) => a.copy(chunks = v.toInt)
+      case (a, Array("--stream", v)) => a.copy(stream = v.toBoolean)
       case (a, Array(flag, _)) => sys.error(s"unknown flag: $flag"); a
       case (a, _) => a
     }
@@ -58,15 +64,40 @@ object Main {
         spark.read.parquet(path).as[graft.core.Doc]
     }
     val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
-    val triples = KgPipeline.run(docs, lex, args.partitions)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (args.explain) triples.explain("formatted")
-    triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
-    // count the cached result, not a re-read: an all-empty run writes no
-    // part files and parquet schema inference would fail
-    val n = triples.count()
+    val n: Long = if (args.stream) {
+      // incremental mention detection: drain whatever is currently in the
+      // docs directory, checkpoint, exit; re-running processes only new files
+      require(!args.docs.startsWith("synth:"), "--stream needs a docs directory")
+      val gazBc = graft.detect.Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)
+      val q = graft.streaming.Streaming.availableNowToParquet(
+        graft.streaming.Streaming.detectStream(
+          graft.streaming.Streaming.docsStream(spark, args.docs), gazBc),
+        s"${args.out}/mentions", s"${args.out}/checkpoint")
+      q.awaitTermination()
+      spark.read.parquet(s"${args.out}/mentions").count()
+    } else if (args.resumable) {
+      // checkpointed run into an Icebergish table: re-running the same
+      // command resumes from the completed-chunk frontier
+      val progress = graft.checkpoint.Resumable.run(
+        docs, lex, s"${args.out}/triples", s"${args.out}/progress",
+        args.chunks, runId = java.util.UUID.randomUUID().toString)
+      println(s"graft-kg: ${progress.size} chunk(s) executed this run " +
+        s"(${progress.map(_.chunk).mkString(",")})")
+      if (graft.tables.Icebergish.exists(spark, s"${args.out}/triples"))
+        graft.tables.Icebergish.read(spark, s"${args.out}/triples").count()
+      else 0L
+    } else {
+      val triples = KgPipeline.run(docs, lex, args.partitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (args.explain) triples.explain("formatted")
+      triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
+      // count the cached result, not a re-read: an all-empty run writes no
+      // part files and parquet schema inference would fail
+      triples.count()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"graft-kg: $n%d triples -> ${args.out} in $sec%.1f s (${n / sec}%.0f triples/s)")
+    val what = if (args.stream) "mentions" else "triples"
+    println(f"graft-kg: $n%d $what -> ${args.out} in $sec%.1f s (${n / sec}%.1f $what/s)")
     spark.stop()
   }
 }

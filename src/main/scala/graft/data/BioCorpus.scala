@@ -60,6 +60,28 @@ object BioCorpus {
     (chars.result(), tags.result())
   }
 
+  /** Like `read`, but doc ids are the sentence's 0-based POSITION in the
+    * file ("s%09d") — the key for positional alignment with another dump
+    * of the same corpus (the reference zips gold/pred lists by position,
+    * `evaluate.py:295-302`). Byte offsets are already monotone with
+    * position, so a sort + zipWithIndex is exact and deterministic.
+    */
+  def readIndexed(spark: SparkSession, path: String): Dataset[TaggedSentence] = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n\n")
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .map { case (off, text) => (off.get(), text.toString) }
+      .filter { case (_, block) => parseBlock(block)._1.nonEmpty }
+      .sortBy(_._1)
+      .zipWithIndex()
+    spark.createDataset(rdd.map { case ((_, block), idx) =>
+      val (chars, tags) = parseBlock(block)
+      TaggedSentence(f"s$idx%09d", 0, chars, tags)
+    })
+  }
+
   /** Pack gold sentences into the authoritative docs-table shape (one text
     * span per sentence) — the converter in FIXTURES.md §2.
     */

@@ -1,0 +1,148 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot table layer over partitioned Parquet
+  * (SURVEY.md §7.0: no Iceberg runtime jar ships in this environment, so
+  * the table format is reimplemented minimally — same commit semantics,
+  * swappable for a real Iceberg catalog).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/snap-<id>/...parquet     immutable data files per commit
+  *   <root>/manifests/snap-<id>.json      snapshot manifest:
+  *       {snapshot, parent, mode, files[], rows, schema, committed_at}
+  *   <root>/current                       pointer file (atomic rename)
+  * }}}
+  *
+  * Guarantees:
+  *  - snapshot isolation: readers resolve `current` once, then read only
+  *    the immutable file set of that snapshot's manifest chain;
+  *  - atomic commit: manifest is fully written before the pointer flips
+  *    (rename is atomic on HDFS/local posix);
+  *  - time travel: `read(spark, root, Some(snapshotId))`.
+  *
+  * Append manifests reference their parent; the effective file set is the
+  * union along the parent chain (cut by an `overwrite` manifest).
+  */
+object Icebergish {
+
+  private val mapper = new ObjectMapper()
+
+  case class Snapshot(
+      id: Long,
+      parent: Long, // -1 = none
+      mode: String, // "append" | "overwrite"
+      files: Seq[String],
+      rows: Long,
+      committedAt: String)
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def currentSnapshotId(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "current")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  def readManifest(spark: SparkSession, root: String, id: Long): Snapshot = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, s"manifests/snap-$id.json"))
+    val m =
+      try mapper.readValue(in.readAllBytes(), classOf[java.util.Map[String, Object]])
+      finally in.close()
+    Snapshot(
+      m.get("snapshot").toString.toLong,
+      m.get("parent").toString.toLong,
+      m.get("mode").toString,
+      m.get("files").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      m.get("rows").toString.toLong,
+      m.get("committed_at").toString)
+  }
+
+  /** Effective file set of a snapshot: walk the parent chain until an
+    * overwrite (or the root).
+    */
+  def fileSet(spark: SparkSession, root: String, id: Long): Seq[String] = {
+    val files = mutable.ListBuffer.empty[String]
+    var cur = id
+    var done = false
+    while (!done) {
+      val s = readManifest(spark, root, cur)
+      files.prependAll(s.files)
+      if (s.mode == "overwrite" || s.parent < 0) done = true else cur = s.parent
+    }
+    files.toSeq
+  }
+
+  /** Commit a DataFrame as a new snapshot. Returns the new snapshot id. */
+  def commit(df: DataFrame, root: String, mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val parent = currentSnapshotId(spark, root).getOrElse(-1L)
+    val id = parent + 1
+    val dataDir = new Path(root, s"data/snap-$id")
+
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+
+    val committed = f
+      .listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/snap-$id/${st.getPath.getName}")
+      .sorted
+    val rows =
+      if (committed.isEmpty) 0L
+      else spark.read.parquet(committed.map(p => s"$root/$p"): _*).count()
+
+    val manifest = new java.util.LinkedHashMap[String, Object]()
+    manifest.put("snapshot", java.lang.Long.valueOf(id))
+    manifest.put("parent", java.lang.Long.valueOf(parent))
+    manifest.put("mode", mode)
+    manifest.put("files", committed.toList.asJava)
+    manifest.put("rows", java.lang.Long.valueOf(rows))
+    manifest.put("committed_at", java.time.Instant.now().toString)
+    manifest.put("schema", df.schema.json)
+
+    f.mkdirs(new Path(root, "manifests"))
+    val manifestPath = new Path(root, s"manifests/snap-$id.json")
+    val out = f.create(manifestPath, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
+    finally out.close()
+
+    // atomic pointer flip: write tmp, rename over
+    val tmp = new Path(root, s"current.tmp-$id")
+    val o2 = f.create(tmp, true)
+    try o2.write(id.toString.getBytes(StandardCharsets.UTF_8))
+    finally o2.close()
+    val cur = new Path(root, "current")
+    if (f.exists(cur)) f.delete(cur, false)
+    if (!f.rename(tmp, cur)) sys.error(s"pointer flip failed for snapshot $id")
+    id
+  }
+
+  /** Read the table at `current` (or a past snapshot: time travel). */
+  def read(spark: SparkSession, root: String, snapshot: Option[Long] = None): DataFrame = {
+    val id = snapshot
+      .orElse(currentSnapshotId(spark, root))
+      .getOrElse(sys.error(s"no current snapshot in $root"))
+    val files = fileSet(spark, root, id)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(p => s"$root/$p"): _*)
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    currentSnapshotId(spark, root).isDefined
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.Bio
+import graft.data.BioCorpus
+import graft.metrics.ReferenceEval
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests against the reference's own artifacts at /root/reference
+  * (read-only). Fixture numbers were computed independently with a Python
+  * implementation of seqeval's default scheme; the gold-side per-type
+  * supports exactly match the reference's published
+  * `evaluation_results.json` (944/441/173/93/150/88), which pins the
+  * extraction semantics.
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  private val refData = "/root/reference/data"
+  private val refAvailable = new java.io.File(refData).isDirectory
+
+  test("BIO reader reproduces the reference corpus sentence counts") {
+    assume(refAvailable)
+    assert(BioCorpus.read(spark, s"$refData/train.txt").count() == 6837)
+    assert(BioCorpus.read(spark, s"$refData/dev.txt").count() == 853)
+    assert(BioCorpus.read(spark, s"$refData/test.txt").count() == 866)
+  }
+
+  test("label vocabulary induction over the real corpora yields the 13 reference labels") {
+    assume(refAvailable)
+    val vocab = BioCorpus.labelList(
+      BioCorpus.read(spark, s"$refData/train.txt"),
+      BioCorpus.read(spark, s"$refData/dev.txt"),
+      BioCorpus.read(spark, s"$refData/test.txt"))
+    assert(vocab == Bio.Labels)
+  }
+
+  test("span metrics reproduce seqeval numbers on the reference prediction dump") {
+    assume(refAvailable)
+    val gold = BioCorpus.readIndexed(spark, s"$refData/test.txt")
+    val pred = BioCorpus.readIndexed(spark, "/root/reference/results/test_predictions.txt")
+    val (perType, micro) = ReferenceEval.evaluate(gold, pred)
+
+    // golden fixture: independently computed (python) seqeval-default
+    // counts over (test.txt gold, test_predictions.txt), pairwise-truncated
+    val expected = Map(
+      "Anatomical" -> (793L, 1017L, 944L),
+      "Diseases" -> (354L, 431L, 441L),
+      "Drug" -> (156L, 169L, 173L),
+      "Image" -> (80L, 98L, 93L),
+      "Laboratory" -> (121L, 165L, 150L),
+      "Operation" -> (71L, 91L, 88L))
+    val got = perType.collect().map(m => m.entity_type -> ((m.tp, m.pred_count, m.gold_count))).toMap
+    assert(got == expected)
+
+    assert(micro.tp == 1575L && micro.pred_count == 1971L && micro.gold_count == 1889L)
+    assert(math.abs(micro.precision - 1575.0 / 1971.0) < 1e-12)
+    assert(math.abs(micro.recall - 1575.0 / 1889.0) < 1e-12)
+  }
+
+  test("seqevalEntities implements the conlleval start rules") {
+    // I-X after O starts a chunk (unlike the reference's own decoder)
+    assert(Bio.seqevalEntities(IndexedSeq("O", "I-Drug", "I-Drug")) == Seq(("Drug", 1, 3)))
+    // leading I-X starts a chunk
+    assert(Bio.seqevalEntities(IndexedSeq("I-Drug")) == Seq(("Drug", 0, 1)))
+    // type change inside I-run splits
+    assert(Bio.seqevalEntities(IndexedSeq("B-Drug", "I-Diseases")) ==
+      Seq(("Drug", 0, 1), ("Diseases", 1, 2)))
+    // B after B splits
+    assert(Bio.seqevalEntities(IndexedSeq("B-Drug", "B-Drug")) ==
+      Seq(("Drug", 0, 1), ("Drug", 1, 2)))
+  }
+}
