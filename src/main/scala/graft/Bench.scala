@@ -29,14 +29,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // tmpfs shuffle dir when available: the sandbox VM's disk is shared
+    // and slow; a real cluster has per-executor local NVMe
+    val spark = (if (new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/graft/bench-local")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: JIT + codegen + parquet footer caches on a small query

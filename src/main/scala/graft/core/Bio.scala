@@ -46,14 +46,36 @@ object Bio {
       "\\.\\,\\;\\:\\?\\!\\(\\)\\[\\]\\{\\}\\-\\+\\=/\\\\%@#\\$&\\*_" +
       "，。；：？！（）【】｛｝]").r
 
+  // precompiled (String.replaceAll would recompile per call — measurable
+  // GC churn at tens of millions of mentions)
+  private val WsRun = java.util.regex.Pattern.compile("(?U)\\s+")
+
+  /** Exact membership test for the whitelist char class above. */
+  private def isWhitelisted(c: Char): Boolean =
+    (c >= '一' && c <= '龥') ||
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      ".,;:?!()[]{}-+=/\\%@#$&*_".indexOf(c) >= 0 ||
+      "，。；：？！（）【】｛｝".indexOf(c) >= 0
+
   /** `clean_entity_name` (`utils.py:101-123`), in the reference's exact
     * order: strip → collapse runs of whitespace to one space → drop chars
-    * outside the whitelist → drop "##".
+    * outside the whitelist → drop "##". Fast path: a string of purely
+    * whitelisted chars with no '#' is returned unchanged, allocation-free
+    * (the overwhelmingly common case for clinical-entity surfaces).
     */
   def cleanEntityName(entityText: String): String = {
+    var i = 0
+    var fast = true
+    while (fast && i < entityText.length) {
+      val c = entityText.charAt(i)
+      if (c == '#' || !isWhitelisted(c)) fast = false
+      i += 1
+    }
+    if (fast) return entityText
+
     var text = entityText.dropWhile(isPySpace).reverse.dropWhile(isPySpace).reverse
     // Python re.sub(r'\s+', ' ') is unicode-aware; (?U) gives Java parity.
-    text = text.replaceAll("(?U)\\s+", " ")
+    text = WsRun.matcher(text).replaceAll(" ")
     text = WhitelistClass.replaceAllIn(text, "")
     text.replace("##", "")
   }

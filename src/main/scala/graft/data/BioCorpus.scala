@@ -60,6 +60,20 @@ object BioCorpus {
     (chars.result(), tags.result())
   }
 
+  /** Raw-text scan (S2, `predict_enhanced.py:213-217`): one sentence per
+    * non-blank line; ids by line position.
+    */
+  def readRawText(spark: SparkSession, path: String): Dataset[graft.core.Sentence] = {
+    import spark.implicits._
+    val rdd = spark.sparkContext.textFile(path)
+      .map(_.replaceAll("(?U)^\\s+|(?U)\\s+$", ""))
+      .filter(_.nonEmpty)
+      .zipWithIndex()
+    spark.createDataset(rdd.map { case (line, idx) =>
+      graft.core.Sentence(f"s$idx%09d", 0, line)
+    })
+  }
+
   /** Like `read`, but doc ids are the sentence's 0-based POSITION in the
     * file ("s%09d") — the key for positional alignment with another dump
     * of the same corpus (the reference zips gold/pred lists by position,

@@ -71,6 +71,191 @@ object Detector {
     }
   }
 
+  /** Character trie over gazetteer surfaces: longest-match lookup with
+    * ZERO allocation per probe (no substring candidates). Built once per
+    * task from the broadcast gazetteer.
+    */
+  final class GazTrie private (root: GazTrie.Node) extends Serializable {
+    /** Longest surface matching text at `from` (within [from, limit)).
+      * @return match length, 0 if none; `lastType` holds its entity type.
+      */
+    var lastType: String = _
+    def longestMatch(text: String, from: Int, limit: Int): Int = {
+      var node = root
+      var i = from
+      var bestLen = 0
+      var bestType: String = null
+      while (i < limit && node != null) {
+        node = node.child(text.charAt(i))
+        i += 1
+        if (node != null && node.entityType != null) {
+          bestLen = i - from
+          bestType = node.entityType
+        }
+      }
+      lastType = bestType
+      bestLen
+    }
+  }
+
+  object GazTrie {
+    final class Node extends Serializable {
+      var entityType: String = _
+      // open-addressed char→node map; tiny fan-out in practice
+      private var keys: Array[Char] = new Array[Char](0)
+      private var vals: Array[Node] = new Array[Node](0)
+      def child(c: Char): Node = {
+        var i = 0
+        while (i < keys.length) { if (keys(i) == c) return vals(i); i += 1 }
+        null
+      }
+      def getOrAdd(c: Char): Node = {
+        val existing = child(c)
+        if (existing != null) return existing
+        val n = new Node
+        keys = keys :+ c
+        vals = vals :+ n
+        n
+      }
+    }
+    def apply(gaz: Gazetteer): GazTrie = {
+      val root = new Node
+      gaz.surfaces.foreach { case (surface, tpe) =>
+        var node = root
+        var i = 0
+        while (i < surface.length) { node = node.getOrAdd(surface.charAt(i)); i += 1 }
+        node.entityType = tpe
+      }
+      new GazTrie(root)
+    }
+  }
+
+  /** Per-task detector kernel with REUSABLE buffers: the hot path
+    * allocates only the emitted Mention objects. One instance per
+    * partition (mapPartitions), shared across that task's batches —
+    * exactly the "codec initialized once per batch" shape of the
+    * reference's batch loop, minus the per-sentence array churn that
+    * caps single-JVM scaling at high core counts (allocation-rate bound).
+    */
+  final class Kernel(gaz: Gazetteer, maxLen: Int) {
+    private val trie = GazTrie(gaz)
+    private val L = NumLabels
+    private val em = Array.ofDim[Float](maxLen, L)
+    private val dp = Array.ofDim[Float](maxLen, L)
+    private val bp = Array.ofDim[Int](maxLen, L)
+    private val path = new Array[Int](maxLen)
+    private val conf = new Array[Double](maxLen)
+    private val sb = new StringBuilder
+
+    def detect(s: Sentence): Seq[Mention] = {
+      val text = s.text
+      val n = math.min(text.length, maxLen)
+      if (n == 0) return Nil
+
+      // emissions (K2): O prior + greedy longest trie matches
+      var i = 0
+      while (i < n) {
+        java.util.Arrays.fill(em(i), 0f)
+        em(i)(oId) = 2.0f
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val m = trie.longestMatch(text, i, n)
+        if (m > 0) {
+          em(i)(bId(trie.lastType)) = 8.0f
+          var k = 1
+          while (k < m) { em(i + k)(iId(trie.lastType)) = 8.0f; k += 1 }
+          i += m
+        } else i += 1
+      }
+
+      // Viterbi (K4) into reusable dp/bp
+      var j = 0
+      while (j < L) { dp(0)(j) = transitions(L)(j) + em(0)(j); j += 1 }
+      i = 1
+      while (i < n) {
+        j = 0
+        while (j < L) {
+          var best = Float.NegativeInfinity
+          var arg = 0
+          var k = 0
+          while (k < L) {
+            val sc = dp(i - 1)(k) + transitions(k)(j)
+            if (sc > best) { best = sc; arg = k }
+            k += 1
+          }
+          dp(i)(j) = best + em(i)(j)
+          bp(i)(j) = arg
+          j += 1
+        }
+        i += 1
+      }
+      var best = Float.NegativeInfinity
+      var arg = 0
+      j = 0
+      while (j < L) { if (dp(n - 1)(j) > best) { best = dp(n - 1)(j); arg = j }; j += 1 }
+      path(n - 1) = arg
+      i = n - 1
+      while (i > 0) { path(i - 1) = bp(i)(path(i)); i -= 1 }
+
+      // per-position confidence (P7): softmax(emission)[chosen]
+      i = 0
+      while (i < n) {
+        var mx = Float.NegativeInfinity
+        j = 0
+        while (j < L) { if (em(i)(j) > mx) mx = em(i)(j); j += 1 }
+        var z = 0.0
+        j = 0
+        while (j < L) { z += math.exp((em(i)(j) - mx).toDouble); j += 1 }
+        conf(i) = math.exp((em(i)(path(i)) - mx).toDouble) / z
+        i += 1
+      }
+
+      // BIO decode (C1) — reference state machine over single-char tokens
+      // (every token is one char here: offsets == indices, no specials)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+      var curType: String = null
+      var curStart = 0
+      var curEnd = 0
+      def flush(): Unit = {
+        if (curType != null) {
+          var csum = 0.0
+          var k = curStart
+          while (k < curEnd) { csum += conf(k); k += 1 }
+          out += Mention(
+            s.doc_id, s.span_idx, curType,
+            Bio.cleanEntityName(sb.toString), curStart, curEnd,
+            if (curEnd > curStart) csum / (curEnd - curStart) else 1.0)
+          curType = null
+          sb.clear()
+        }
+      }
+      i = 0
+      while (i < n) {
+        val label = labelArr(path(i))
+        if (label.charAt(0) == 'B') {
+          flush()
+          curType = label.substring(2)
+          sb.clear(); sb.append(text.charAt(i))
+          curStart = i
+          curEnd = i + 1
+        } else if (label.charAt(0) == 'I') {
+          if (curType != null && label.regionMatches(2, curType, 0, curType.length)
+            && label.length - 2 == curType.length) {
+            sb.append(text.charAt(i))
+            curEnd = i + 1
+          }
+        } else { // O
+          flush()
+        }
+        i += 1
+      }
+      flush()
+      out.toSeq
+    }
+  }
+
   /** Emission scoring (K2): per position, per label. Gazetteer greedy
     * longest-match (the reference's dictionary-probe analog,
     * `data_augmentation.py:66,126`) stamps strong B-/I- scores over the
@@ -215,9 +400,9 @@ object Detector {
     val spark = sentences.sparkSession
     import spark.implicits._
     sentences.mapPartitions { it =>
-      val gaz = gazBc.value
+      val kernel = new Kernel(gazBc.value, maxLen)
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap(s => detectOne(s, gaz, maxLen))
+        batch.iterator.flatMap(kernel.detect)
       }
     }
   }

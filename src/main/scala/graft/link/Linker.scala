@@ -64,12 +64,6 @@ object Linker {
 
   private val blockingKeysUdf = udf((s: String) => blockingKeys(s))
   private val ctxEmbUdf = udf((s: String) => contextEmbedding(s))
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
 
   /** Link each mention to its best lexicon concept (left join semantics:
     * mentions with no candidate survive with null concept — they feed
@@ -94,7 +88,8 @@ object Linker {
         when($"concept_id".isNull, lit(Double.MinValue))
           .otherwise(
             when($"surface" === $"text", lit(10.0)).otherwise(lit(0.0)) +
-              dotUdf($"ctx_emb", $"embedding")))
+              // native codegen'd expression — no UDF boundary in the hot path
+              graft.functions.VecDot.vec_dot($"ctx_emb", $"embedding")))
 
     // argmax per mention via min_by over (-score, concept_id): a single
     // shuffle with map-side partial aggregation — beats a row_number window
@@ -114,6 +109,45 @@ object Linker {
         $"doc_id", $"span_idx", $"entity_type", $"best.text".as("text"),
         $"start", $"end", $"best.confidence".as("confidence"),
         $"best.concept_id".as("concept_id"), $"best.link_score".as("link_score"))
+      .as[LinkedMention]
+  }
+
+  /** Surface-level resolution table: best concept per distinct
+    * (text, entity_type). The link score is a pure function of the surface
+    * (context embedding is text-derived), so resolving each distinct
+    * surface ONCE and broadcasting the result back is semantically
+    * identical to per-mention linking.
+    */
+  def surfaceResolution(
+      surfaces: Dataset[(String, String)], // (text, entity_type)
+      lexicon: Dataset[LexiconEntry]): DataFrame = {
+    val spark = surfaces.sparkSession
+    import spark.implicits._
+    // doc_id = the surface text itself so link()'s per-mention argmax key
+    // (doc_id, span_idx, start, end, type) stays unique per surface
+    val asMentions = surfaces.map { case (text, tpe) =>
+      Mention(text, 0, tpe, text, 0, 0, 1.0)
+    }
+    link(asMentions, lexicon).toDF()
+      .select($"text", $"entity_type", $"concept_id", $"link_score")
+  }
+
+  /** Scale path used by the pipeline: dedup surfaces (map-side combine
+    * makes the shuffle tiny — the distinct surface set is vocabulary-
+    * bounded, not data-bounded), run the full scorer on the small set,
+    * then broadcast-join the resolution back onto mentions. ZERO wide
+    * shuffles of the mention table; output identical to `link`.
+    */
+  def linkBySurface(mentions: Dataset[Mention], lexicon: Dataset[LexiconEntry]): Dataset[LinkedMention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val surfaces = mentions.select($"text", $"entity_type").distinct().as[(String, String)]
+    val resolution = surfaceResolution(surfaces, lexicon)
+    mentions
+      .join(broadcast(resolution), Seq("text", "entity_type"), "inner")
+      .select(
+        $"doc_id", $"span_idx", $"entity_type", $"text", $"start", $"end",
+        $"confidence", $"concept_id", $"link_score")
       .as[LinkedMention]
   }
 }

@@ -40,6 +40,40 @@ object ReferenceEval {
     (side(extractPred = false), side(extractPred = true))
   }
 
+  /** Positionally-paired (gold_tag, pred_tag) per kept token — the input
+    * of the confusion matrix (`evaluate.py:472-493`).
+    */
+  def tokenPairs(
+      gold: Dataset[TaggedSentence],
+      pred: Dataset[TaggedSentence]): org.apache.spark.sql.DataFrame = {
+    val spark = gold.sparkSession
+    import spark.implicits._
+    gold
+      .joinWith(pred, gold("doc_id") === pred("doc_id"), "inner")
+      .flatMap { case (g, p) =>
+        val n = math.min(g.tags.length, p.tags.length)
+        (0 until n).map(i => (g.tags(i), p.tags(i)))
+      }
+      .toDF("gold_tag", "pred_tag")
+  }
+
+  /** The reference's per-token prediction dump (S9, `evaluate.py:399-419`):
+    * `{id, words, true_labels, pred_labels}` JSON rows.
+    */
+  def predictionDump(
+      gold: Dataset[TaggedSentence],
+      pred: Dataset[TaggedSentence]): org.apache.spark.sql.DataFrame = {
+    val spark = gold.sparkSession
+    import spark.implicits._
+    gold
+      .joinWith(pred, gold("doc_id") === pred("doc_id"), "inner")
+      .map { case (g, p) =>
+        val n = math.min(g.tags.length, p.tags.length)
+        (g.doc_id, g.chars.take(n), g.tags.take(n), p.tags.take(n))
+      }
+      .toDF("id", "words", "true_labels", "pred_labels")
+  }
+
   /** Full comparison → per-type metrics + micro row, reproducing the
     * numbers seqeval would print for the same two files.
     */

@@ -64,6 +64,26 @@ object SpanMetrics {
     TypeMetrics("micro", tp, pc, gc, p, r, f1)
   }
 
+  /** Full classification report rows (per-type + micro/macro/weighted
+    * averages), mirroring the reference's seqeval `classification_report`
+    * (`evaluate.py:318-337`, golden instance
+    * `checkpoints/best_classification_report.txt`). The averages operate
+    * on the tiny per-type table (≤ #types rows), so driver math is fine.
+    */
+  def report(per: Dataset[TypeMetrics]): Seq[TypeMetrics] = {
+    val rows = per.collect().sortBy(_.entity_type).toSeq
+    val mic = micro(per)
+    val k = math.max(rows.length, 1)
+    val macroRow = TypeMetrics("macro avg", mic.tp, mic.pred_count, mic.gold_count,
+      rows.map(_.precision).sum / k, rows.map(_.recall).sum / k, rows.map(_.f1).sum / k)
+    val support = rows.map(_.gold_count).sum.toDouble
+    def wavg(f: TypeMetrics => Double) =
+      if (support == 0) 0.0 else rows.map(r => f(r) * r.gold_count).sum / support
+    val weightedRow = TypeMetrics("weighted avg", mic.tp, mic.pred_count, mic.gold_count,
+      wavg(_.precision), wavg(_.recall), wavg(_.f1))
+    rows :+ mic.copy(entity_type = "micro avg") :+ macroRow :+ weightedRow
+  }
+
   /** Token-level confusion matrix over entity types with BIO prefix
     * stripped and `O` included (`evaluate.py:472-493`): rows of
     * (gold_type, pred_type, count).

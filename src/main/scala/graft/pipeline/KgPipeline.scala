@@ -77,12 +77,24 @@ object KgPipeline {
     import spark.implicits._
     val gaz = Lexicon.gazetteerEntries(lexicon)
     val mentions = detectMentions(docs, gaz, numPartitions)
-    // linked feeds both the canonicalization graph and triple assembly —
-    // persist so detect+link run exactly once
-    val linked = Linker.link(mentions, lexicon)
+    // surface-level link resolution: the distinct (text, type) set is
+    // vocabulary-bounded, so linking it once and broadcasting the result
+    // back avoids any wide shuffle (and any persist) of the mention table
+    val surfaces = mentions.select(col("text"), col("entity_type")).distinct()
+      .as[(String, String)]
+    // tiny (vocabulary-bounded) → persist so the edges branch and the
+    // broadcast branch don't each re-run detect+distinct
+    val resolution = Linker.surfaceResolution(surfaces, lexicon)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // canonicalization graph: surface node ↔ concept node per linked mention
-    val edges = linked
+    resolution.count() // eager: materialize once, before the main job
+    val linked = mentions
+      .join(broadcast(resolution), Seq("text", "entity_type"), "inner")
+      .select(col("doc_id"), col("span_idx"), col("entity_type"), col("text"),
+        col("start"), col("end"), col("confidence"), col("concept_id"), col("link_score"))
+      .as[LinkedMention]
+    // canonicalization graph comes from the (tiny) resolution table, not
+    // from the mention table: surface node ↔ resolved concept node
+    val edges = resolution
       .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
       .distinct()
     val components = Canon.connectedComponents(edges)

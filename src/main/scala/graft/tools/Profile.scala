@@ -25,9 +25,11 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val g = DocsGen.gen(spark, n, seed = 42L)
-    val docs = DocsGen.docs(g)
-    time("docsgen+count")(docs.count())
+    val docs =
+      if (args.length > 1 && args(1).startsWith("staged:"))
+        spark.read.parquet(args(1).stripPrefix("staged:")).as[graft.core.Doc]
+      else DocsGen.docs(DocsGen.gen(spark, n, seed = 42L))
+    time("docs scan+count")(docs.count())
     val lex = time("lexicon")(Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache())
     lex.count()
     val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)

@@ -1,0 +1,121 @@
+package graft.tools
+
+import graft.data.{DocsGen, Lexicon}
+import graft.pipeline.KgPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence benchmark (BASELINE.md §Scaling): the same job — parquet
+  * docs scan → full KG pipeline → triples count — at two parallelism levels
+  * (N and 4N cores) in ONE invocation, alternating contexts so shared-host
+  * noise (this sandbox is a VM with visible steal time) hits both levels
+  * equally. Prints one JSON line with both throughputs and the scaling
+  * efficiency (throughput@4N / throughput@N) / 4.
+  *
+  * Usage: sbt "runMain graft.tools.ScalingBench <docs> <runsPerLevel> <N>"
+  * (defaults 1000000, 3, 8 → levels 8 and 32).
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val n = if (args.length > 2) args(2).toInt else 8
+    val levels = Seq(n, n * 4)
+    // tmpfs for staged input AND shuffle spill: the sandbox VM's disk is
+    // shared/slow and would turn every shuffle I/O-bound; a real cluster
+    // has local NVMe per executor
+    val shmBase = "/dev/shm/graft"
+    val staged = s"$shmBase/scaling_docs_$nDocs"
+
+    def newSession(cpus: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.local.dir", s"$shmBase/local")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    // stage docs once (not timed)
+    {
+      val spark = newSession(levels.max)
+      if (!new java.io.File(s"$staged/_SUCCESS").exists()) {
+        DocsGen.docs(DocsGen.gen(spark, nDocs, seed = 42L, partitions = 64))
+          .write.mode("overwrite").parquet(staged)
+      }
+      spark.stop()
+    }
+
+    /** Hypervisor steal (cpu-seconds) from /proc/stat — this sandbox runs
+      * on a shared host where neighbors steal multiple cores in bursts;
+      * wall times must be reported alongside the steal they absorbed.
+      */
+    def stealSec(): Double = {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      line.trim.split("\\s+")(8).toDouble / 100.0
+    }
+
+    case class RunResult(triples: Long, wallSec: Double, stealSec: Double, cpuSec: Double, gcSec: Double)
+
+    def once(spark: SparkSession, cpus: Int): RunResult = {
+      import spark.implicits._
+      val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
+      lex.count()
+      val docs = spark.read.parquet(staged).as[graft.core.Doc]
+      // task-level CPU accounting via listener (scale-invariant work measure)
+      val cpu = new java.util.concurrent.atomic.AtomicLong()
+      val gc = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskMetrics != null) {
+            cpu.addAndGet(te.taskMetrics.executorCpuTime) // ns
+            gc.addAndGet(te.taskMetrics.jvmGCTime) // ms
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val st0 = stealSec()
+      val t0 = System.nanoTime()
+      val nTriples = KgPipeline.run(docs, lex, numPartitions = cpus * 2).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val steal = stealSec() - st0
+      spark.sparkContext.removeSparkListener(listener)
+      RunResult(nTriples, wall, steal, cpu.get() / 1e9, gc.get() / 1e3)
+    }
+
+    // alternate levels per round: [warmup@a, warmup@b], then runs rounds
+    val results = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[RunResult]): _*)
+    var triples = 0L
+    for (round <- 0 to runs) { // round 0 = warmup
+      for (cpus <- levels) {
+        val spark = newSession(cpus)
+        val r = once(spark, cpus)
+        triples = r.triples
+        if (round > 0) results(cpus) = results(cpus) :+ r
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    def fmt(xs: Vector[Double]): String = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    def median(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // steal-adjusted wall: subtract this VM's share of hypervisor steal
+    // (steal is machine-wide cpu-seconds over 32 host cores)
+    def adj(r: RunResult): Double = math.max(r.wallSec - r.stealSec / 32.0, r.wallSec * 0.2)
+    val byLevel = levels.map { c =>
+      val rs = results(c)
+      c -> ((median(rs.map(_.wallSec)), rs.map(adj).min, median(rs.map(_.cpuSec))))
+    }.toMap
+    val (mN, bestN, cpuN) = byLevel(levels(0))
+    val (m4N, best4N, cpu4N) = byLevel(levels(1))
+    val effMedian = (mN / m4N) / 4.0
+    val effBestAdj = (bestN / best4N) / 4.0
+    println(
+      f"""{"bench":"scaling","docs":$nDocs,"triples":$triples,"n_cores":${levels(0)},"cores_4n":${levels(1)},"wall_n":${fmt(results(levels(0)).map(_.wallSec))},"wall_4n":${fmt(results(levels(1)).map(_.wallSec))},"steal_n":${fmt(results(levels(0)).map(_.stealSec))},"steal_4n":${fmt(results(levels(1)).map(_.stealSec))},"cpu_n":${fmt(results(levels(0)).map(_.cpuSec))},"cpu_4n":${fmt(results(levels(1)).map(_.cpuSec))},"gc_n":${fmt(results(levels(0)).map(_.gcSec))},"gc_4n":${fmt(results(levels(1)).map(_.gcSec))},"median_n_sec":$mN%.2f,"median_4n_sec":$m4N%.2f,"best_adj_n_sec":$bestN%.2f,"best_adj_4n_sec":$best4N%.2f,"triples_per_sec_n":${triples / mN}%.1f,"triples_per_sec_4n":${triples / m4N}%.1f,"scaling_efficiency_median":$effMedian%.3f,"scaling_efficiency_best_adj":$effBestAdj%.3f}""")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.core.{Bio, Hashing, TaggedSentence}
+import graft.data.{BioCorpus, Dicts}
+import graft.functions.{Registry, VecDot}
+import graft.metrics.{ReferenceEval, SpanMetrics}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("vec_dot native expression matches scala math and survives codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(VecDot.vec_dot(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    assert(got(0) == 32.0)
+    assert(math.abs(got(1) - (-2.0)) < 1e-9)
+    // SQL registration path
+    Registry.registerAll(spark)
+    val viaSql = spark.sql("select vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+      "array(cast(3.0 as float), cast(4.0 as float)))").head().getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
+  test("cleanEntityNameCol column chain is equivalent to the scala reference implementation") {
+    import spark.implicits._
+    // adversarial cases + seeded random strings over a mixed alphabet
+    val alphabet = "胃癌 肺#炎\tA b1.,;:?!(){}[]-+=/\\%@#$&*_，。；：？！（）【】｛｝☆α 　##<>《》"
+    val cases = Seq("", " ", "  胃 癌  ", "a##b", "α胃β", " x ") ++
+      (0 until 300).map { i =>
+        val h = Hashing.hash2(17, i)
+        val len = Hashing.pick(Hashing.mix64(h), 12)
+        (0 until len).map(k => alphabet(Hashing.pick(Hashing.mix64(h + k), alphabet.length))).mkString
+      }
+    val df = cases.toDF("s")
+    val got = df.select(Registry.cleanEntityNameCol(col("s"))).collect().map(_.getString(0))
+    val want = cases.map(Bio.cleanEntityName)
+    got.zip(want).zip(cases).foreach { case ((g, w), in) =>
+      assert(g == w, s"mismatch for input ${in.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("decode_bio is callable from SQL") {
+    Registry.registerAll(spark)
+    val rows = spark.sql(
+      "select decode_bio(array('胃','癌','好'), array('B-Diseases','I-Diseases','O')) as ents")
+      .selectExpr("explode(ents) as e").select("e._1", "e._2", "e._3", "e._4").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Diseases" && rows.head.getString(1) == "胃癌")
+  }
+
+  test("stripBioPrefixCol projects labels like label[2:]") {
+    import spark.implicits._
+    val got = Seq("B-Drug", "I-Anatomical", "O").toDF("t")
+      .select(Registry.stripBioPrefixCol(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("Drug", "Anatomical", "O"))
+  }
+
+  test("json dict scan loads the reference dictionaries") {
+    assume(new java.io.File("/root/reference/data/synonym_dict.json").isFile)
+    val syn = Dicts.loadJsonDict(spark, "/root/reference/data/synonym_dict.json")
+    assert(syn.contains("医院") && syn("医院").contains("诊所"))
+    val ent = Dicts.loadJsonDict(spark, "/root/reference/data/entity_dict.json")
+    assert(ent.contains("Disease") && ent("Disease").nonEmpty)
+  }
+
+  test("raw text scan keeps non-blank lines in order") {
+    val p = java.nio.file.Files.createTempFile("raw", ".txt")
+    java.nio.file.Files.writeString(p, "第一句\n\n  \n第二句\n第三句\n")
+    val got = BioCorpus.readRawText(spark, p.toString).collect().sortBy(_.doc_id).map(_.text)
+    assert(got.toSeq == Seq("第一句", "第二句", "第三句"))
+  }
+
+  test("classification report adds micro/macro/weighted rows") {
+    import spark.implicits._
+    val per = Seq(
+      graft.core.TypeMetrics("A", 8, 10, 10, 0.8, 0.8, 0.8),
+      graft.core.TypeMetrics("B", 3, 10, 5, 0.3, 0.6, 0.4)).toDS()
+    val rep = SpanMetrics.report(per)
+    val byName = rep.map(r => r.entity_type -> r).toMap
+    assert(math.abs(byName("macro avg").precision - 0.55) < 1e-9)
+    assert(math.abs(byName("weighted avg").recall - (0.8 * 10 + 0.6 * 5) / 15) < 1e-9)
+    assert(math.abs(byName("micro avg").precision - 11.0 / 20) < 1e-9)
+  }
+
+  test("confusion matrix counts stripped-type token pairs") {
+    import spark.implicits._
+    val gold = Seq(TaggedSentence("s0", 0, Seq("胃", "癌", "好"),
+      Seq("B-Diseases", "I-Diseases", "O"))).toDS()
+    val pred = Seq(TaggedSentence("s0", 0, Seq("胃", "癌", "好"),
+      Seq("B-Diseases", "O", "O"))).toDS()
+    val cm = SpanMetrics.confusion(ReferenceEval.tokenPairs(gold, pred)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(cm == Set(("Diseases", "Diseases", 1L), ("Diseases", "O", 1L), ("O", "O", 1L)))
+  }
+
+  test("prediction dump has the reference's record shape") {
+    import spark.implicits._
+    val gold = Seq(TaggedSentence("s0", 0, Seq("胃", "癌"), Seq("B-Diseases", "I-Diseases"))).toDS()
+    val pred = Seq(TaggedSentence("s0", 0, Seq("胃", "癌"), Seq("B-Diseases", "O"))).toDS()
+    val row = ReferenceEval.predictionDump(gold, pred).collect().head
+    assert(row.getAs[String]("id") == "s0")
+    assert(row.getAs[scala.collection.Seq[String]]("words").toSeq == Seq("胃", "癌"))
+    assert(row.getAs[scala.collection.Seq[String]]("pred_labels").toSeq == Seq("B-Diseases", "O"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.Mention
+import graft.data.{DocsGen, Lexicon}
+import graft.link.Linker
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that make these operators
+  * hold up at 100 TB must be visible in the plan — column pruning and
+  * filter pushdown reaching the parquet scan, the lexicon join being a
+  * broadcast join, the detector being fed by an explicit doc_id hash
+  * partitioning, and aggregations running with map-side partial combine.
+  * Catching a regression here is catching a 100x slowdown at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("projection prunes the parquet read schema to the selected columns") {
+    val df = SparkEntry.queries("q_docs_token_count")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("filters push down to the lineitem scan") {
+    val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate predicate did not reach the parquet scan")
+  }
+
+  test("lexicon link join is a broadcast hash join") {
+    import spark.implicits._
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
+    val mentions = Seq(Mention("d", 0, "Diseases", "胃癌", 0, 2, 1.0)).toDS()
+    val p = plan(Linker.link(mentions, lex).toDF())
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "lexicon join is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "lexicon join degraded to sort-merge")
+  }
+
+  test("detector input is explicitly hash-partitioned by doc_id") {
+    val g = DocsGen.gen(spark, 10, seed = 1)
+    val mentions = graft.pipeline.KgPipeline.detectMentions(DocsGen.docs(g), DocsGen.vocabEntries)
+    val p = plan(mentions.toDF())
+    assert(p.contains("hashpartitioning(doc_id"), "no explicit doc_id repartition before detector")
+  }
+
+  test("aggregations use map-side partial combine") {
+    val df = SparkEntry.queries("q_docs_lang_dist")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "aggregation lost its partial (map-side) phase")
+  }
+
+  test("headline aggregation runs inside whole-stage codegen") {
+    // AQE wraps the plan; the codegen explain mode shows the compiled spans
+    val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+}
