@@ -31,32 +31,33 @@ object Triples {
     ("Diseases", "Operation") -> "treated_with"
   )
 
-  /** Assemble triples from linked mentions. `canonical` optionally maps
-    * concept node → canonical component id (from Canon.connectedComponents);
-    * when given, subj/obj are canonical ids.
+  /** Assemble triples from linked mentions.
+    *
+    * Shuffle shape: `groupBy(doc_id).agg(collect_set(...))` — collect_set's
+    * map-side partial aggregation dedupes repeated (type, concept) pairs
+    * BEFORE the shuffle, so the wire carries each doc's distinct concept
+    * set, not every mention occurrence. Triple semantics are unchanged
+    * (the old per-doc `seen` dedup produced exactly the distinct pairs).
     */
   def assemble(linked: Dataset[LinkedMention]): Dataset[Triple] = {
     val spark = linked.sparkSession
     import spark.implicits._
     linked
-      .groupByKey(_.doc_id)
-      .flatMapGroups { (docId, it) =>
-        val ms = it.toArray
-        val subs = ms.filter(_.entity_type == "Diseases")
-        val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
+      .groupBy($"doc_id")
+      .agg(collect_set(struct($"entity_type", $"concept_id")).as("concepts"))
+      .as[(String, Seq[(String, String)])]
+      .flatMap { case (docId, concepts) =>
+        val arr = concepts.toArray
+        val subs = arr.filter(_._1 == "Diseases")
         val out = Seq.newBuilder[Triple]
         var i = 0
         while (i < subs.length) {
-          val s = subs(i)
+          val (sType, sConcept) = subs(i)
           var j = 0
-          while (j < ms.length) {
-            val o = ms(j)
-            Rules.get((s.entity_type, o.entity_type)).foreach { pred =>
-              val key = (s.concept_id, pred, o.concept_id)
-              if (!seen.contains(key)) {
-                seen += key
-                out += Triple(s.concept_id, pred, o.concept_id, docId, s.entity_type, o.entity_type)
-              }
+          while (j < arr.length) {
+            val (oType, oConcept) = arr(j)
+            Rules.get((sType, oType)).foreach { pred =>
+              out += Triple(sConcept, pred, oConcept, docId, sType, oType)
             }
             j += 1
           }
