@@ -49,20 +49,35 @@ object Bench {
 
     var triples = 0L
     var triplesSec = 0.0
+    val errors = Seq.newBuilder[(String, String)]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+        val n =
+          try fn(spark, sfDir).count()
+          catch {
+            case e: Throwable => // fail LOUDLY: a broken query must not report a fast wall time
+              errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              -1L
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         if (name == "kg_triples" && n > 0) { triples = n; triplesSec = n / sec }
+        // each query measured cold: release caches the query persisted
+        // internally (e.g. the pipeline's mention cache) before the next
+        spark.catalog.clearCache()
         name -> sec
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errs = errors.result().map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cores":$cpus,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
+    // stdout (raw — build.sbt routes forked output unprefixed) AND a file,
+    // so the driver can parse either
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }
