@@ -1,0 +1,214 @@
+package graft
+
+import graft.core.{Bio, Hashing, Sentence}
+import graft.data.DocsGen
+import graft.detect.Detector
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Oracle fixtures for the driver's DuckDB correctness gate.
+  *
+  * `stage` writes small parquet tables under `<outDir>/_fixtures/` that the
+  * oracle SQL in [[SparkEntry.oracleSql]] reads via `read_parquet` (the
+  * `{OUT}` placeholder is substituted with the real outDir by [[Verify]]).
+  *
+  * Two fixture families, by what the oracle then PROVES:
+  *
+  *  1. GOLD fixtures (`gold_*`, `vocab`) come from the deterministic
+  *     generator [[DocsGen]], built in a plain driver-side loop — never
+  *     through the pipeline under test. Oracle SQL over them re-derives the
+  *     expected output of the KG/stats/sink operators independently
+  *     (concept ids via SQL row_number, triples via SQL joins, sinks via
+  *     SQL string building), so a detector/linker/canon/assembly bug shows
+  *     up as a hard mismatch.
+  *
+  *  2. LOCAL-REFERENCE fixtures (`expected_*`) are brute-force, sequential
+  *     re-implementations of the hash-based ops (minhash/LSH/simhash/
+  *     langid/fingerprint/augmentation/multimodal) whose kernels DuckDB
+  *     cannot express. They share only the pure scalar kernels with the
+  *     production ops; all DISTRIBUTED machinery under test — banding
+  *     joins, bucket caps, dedup, partial aggregation, partition-
+  *     independent seeding — is re-derived here with naive local loops.
+  */
+object Fixtures {
+
+  /** Synthetic docs-scale per sf dir: sf0.001→300, sf0.01→3000, sf0.1→30000. */
+  def synthDocs(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max((300000 * sf).toLong, 100L)
+  }
+
+  /** Synonym dictionary used by the augmentation query and its oracle. */
+  val AugSynonyms: Map[String, IndexedSeq[String]] =
+    Map("检查" -> IndexedSeq("查验", "检测"), "发现" -> IndexedSeq("查见"))
+
+  /** The detector kernel's per-position confidence at a gazetteer match:
+    * softmax(emissions)[chosen] with emissions {matched: 8, O: 2, rest: 0}.
+    * Measured by RUNNING the kernel on a one-entity probe sentence (not
+    * re-derived from the formula) so the oracle literal tracks the real
+    * emission weights.
+    */
+  def kernelConfidence(): Double = {
+    val gaz = Detector.Gazetteer(Seq("食管" -> "Anatomical"))
+    val kernel = new Detector.Kernel(gaz, 128)
+    kernel.detect(Sentence("probe", 0, "的食管的")).head.confidence
+  }
+
+  /** Stage all fixtures; returns the placeholder substitutions for the
+    * oracle SQL ({OUT} → outDir, {CONF} → kernel confidence literal).
+    */
+  def stage(spark: SparkSession, sfDir: String, outDir: String): Map[String, String] = {
+    import spark.implicits._
+    val fixDir = s"$outDir/_fixtures"
+    def write(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/$name.parquet")
+
+    // ----------------------------------------------------------- gold docs
+    val n = synthDocs(sfDir)
+    val gold = (0L until n).map(i => DocsGen.buildDoc(i, seed = 42L))
+
+    val sentences = gold.flatMap(_.sentences)
+    write(gold.flatMap(_.mentions)
+      .map(m => (m.doc_id, m.span_idx, m.entity_type, m.text, m.start, m.end))
+      .toDF("doc_id", "span_idx", "entity_type", "text", "start", "end"), "gold_mentions")
+    write(sentences
+      .map(ts => (ts.doc_id, ts.span_idx, ts.chars.mkString, ts.chars.length))
+      .toDF("doc_id", "span_idx", "text", "len"), "gold_sentences")
+    write(sentences
+      .flatMap(ts => ts.chars.indices.map(p => (ts.doc_id, ts.span_idx, p, ts.chars(p), ts.tags(p))))
+      .toDF("doc_id", "span_idx", "pos", "ch", "tag"), "gold_tags")
+    write(DocsGen.vocabEntries.toDF("surface", "entity_type"), "vocab")
+
+    // ------------------------------------- augmentation (local sequential)
+    // replicates augmentCorpus: originals ∪ (70%-gated augmentOne rows) —
+    // the Spark op must produce the same multiset regardless of partitioning
+    val augCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    sentences.foreach { ts =>
+      ts.tags.foreach(t => augCounts(t) += 1)
+      if (Hashing.uniformDouble(Hashing.hash2(42L, Hashing.hashString(ts.doc_id + "|gate"))) < 0.7) {
+        graft.aug.Augment.augmentOne(ts, AugSynonyms, DocsGen.Vocab, 42L)
+          .tags.foreach(t => augCounts(t) += 1)
+      }
+    }
+    write(augCounts.toSeq.sortBy(_._1).toDF("tag", "n"), "expected_aug_tags")
+
+    // ------------------------------------ multimodal decode (local, pure)
+    val mediaRows = gold.flatMap { gd =>
+      gd.doc.spans.zipWithIndex.collect {
+        case (s, i) if s.kind != "text" =>
+          val d = Multimodal.decodeStub(
+            Multimodal.MediaItem(gd.doc.doc_id, i, s.kind, s.media_ref,
+              Multimodal.syntheticPayload(s.media_ref)))
+          (gd.doc.doc_id, i, s.kind, s.media_ref, d.meta.width, d.meta.height,
+            d.meta.sample_rate, d.meta.format, d.features(0).toDouble)
+      }
+    }
+    write(mediaRows
+      .toDF("doc_id", "span_idx", "kind", "media_ref", "width", "height", "sample_rate", "format", "f0raw")
+      .withColumn("f0", round(col("f0raw"), 5)).drop("f0raw"), "expected_multimodal")
+
+    // -------------------------------------- documents-table ops (local)
+    val docs: Seq[(Long, String)] = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    write(docs.map { case (id, t) => (id, Dedup.simhash(if (t == null) "" else t)) }
+      .toDF("doc_id", "simhash"), "expected_simhash")
+    write(docs.map { case (id, t) => (id, TextAnalysis.languageId(t)) }
+      .toDF("doc_id", "lang_pred"), "expected_langid")
+    write(docs.map { case (id, t) => (id, TextAnalysis.fingerprint(if (t == null) "" else t)) }
+      .toDF("doc_id", "fingerprint"), "expected_fingerprint")
+
+    // minhash near-dup pairs: naive banding replica (group by raw band
+    // slice instead of its hash; equal slices ⇔ equal buckets)
+    val k = 64; val bands = 16; val rows = k / bands
+    val sigs = docs.map { case (id, t) => id -> Dedup.minhashSignature(if (t == null) "" else t, k, 3) }
+    val candidates = mutable.Set.empty[(Long, Long)]
+    for (b <- 0 until bands) {
+      sigs.groupBy(_._2.slice(b * rows, (b + 1) * rows).toSeq).values
+        .filter(g => g.size >= 2 && g.size <= 200) // maxBucket replica
+        .foreach { g =>
+          for (i <- g.indices; j <- (i + 1) until g.size) {
+            val (a, bb) = (g(i)._1, g(j)._1)
+            candidates += (if (a < bb) (a, bb) else (bb, a))
+          }
+        }
+    }
+    val sigMap = sigs.toMap
+    val minhashPairs = candidates.toSeq.sorted.flatMap { case (a, b) =>
+      val (sa, sb) = (sigMap(a), sigMap(b))
+      val eq = sa.zip(sb).count { case (x, y) => x == y }
+      val est = eq.toDouble / k
+      if (est >= 0.3) Some((a, b, est)) else None
+    }
+    write(minhashPairs.toDF("id_a", "id_b", "est_raw")
+      .withColumn("est_jaccard", round(col("est_raw"), 6)).drop("est_raw"), "expected_minhash_pairs")
+
+    // ------------------------------------------- embedding ops (local)
+    val embeddings: Seq[(Long, Array[Float])] = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      // same left-fold shape as the Catalyst aggregate(zip_with(...)) path
+      var acc = 0.0; var i = 0; val m = math.min(x.length, y.length)
+      while (i < m) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    def cosine(x: Array[Float], y: Array[Float]): Double =
+      dot(x, y) / math.max(math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)), 1e-12)
+
+    // near-dup corpus = embeddings ∪ planted perturbed copies (replicating
+    // the dedup_embedding_neardup query's planting)
+    val planted = embeddings.filter(_._1 < 50).map { case (id, v) =>
+      (id + 100000L, v.zipWithIndex.map { case (x, i) =>
+        x + (Hashing.uniformDouble(Hashing.hash2(id, i)) * 0.02 - 0.01).toFloat
+      })
+    }
+    val ndCorpus = embeddings ++ planted
+    val ndPlanes = Similarity.planeVectors(0xB17, 32, 64)
+    val ndBands = ndCorpus.map { case (id, v) => id -> Similarity.signBands(v, ndPlanes, 4) }
+    val ndCand = mutable.Set.empty[(Long, Long)]
+    for (b <- 0 until 4) {
+      ndBands.groupBy(_._2(b)).values
+        .filter(g => g.size >= 2 && g.size <= 1000) // maxBucket replica
+        .foreach { g =>
+          for (i <- g.indices; j <- (i + 1) until g.size) {
+            val (a, bb) = (g(i)._1, g(j)._1)
+            ndCand += (if (a < bb) (a, bb) else (bb, a))
+          }
+        }
+    }
+    val ndMap = ndCorpus.toMap
+    write(ndCand.toSeq.sorted.map { case (a, b) => (a, b, cosine(ndMap(a), ndMap(b))) }
+      .toDF("id_a", "id_b", "cos_raw")
+      .withColumn("cosine", round(col("cos_raw"), 6)).drop("cos_raw")
+      .filter(col("cosine") >= 0.98), "expected_neardup")
+
+    // ANN LSH top-k replica: queries = vec_id < 10 over the raw embeddings
+    val nb = Similarity.AnnBands
+    val annPlanes = Similarity.planeVectors(0xA55, Similarity.AnnPlanes, 64)
+    val annBands = embeddings.map { case (id, v) => id -> Similarity.signBands(v, annPlanes, nb) }
+    val bucketOk: Map[(Int, Long), Boolean] = (for (b <- 0 until nb)
+      yield annBands.groupBy(_._2(b)).map { case (key, g) => (b, key) -> (g.size <= Similarity.AnnMaxBucket) }
+    ).flatten.toMap
+    val annRows = embeddings.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val qb = Similarity.signBands(qv, annPlanes, nb)
+      val cand = annBands.filter { case (nid, nbv) =>
+        nid != qid && (0 until nb).exists(b => nbv(b) == qb(b) && bucketOk((b, nbv(b))))
+      }.map(_._1).distinct
+      cand.map(nid => (qid, nid, cosine(qv, ndMap(nid))))
+        .sortBy { case (_, nid, cos) => (-cos, nid) }
+        .take(5).zipWithIndex
+        .map { case ((q, nid, cos), idx) => (q, nid, cos, idx + 1) }
+    }
+    write(annRows.toDF("query_id", "neighbor_id", "cos_raw", "rank")
+      .withColumn("cosine", round(col("cos_raw"), 6))
+      .select("query_id", "neighbor_id", "cosine", "rank"), "expected_ann_lsh")
+
+    Map("{OUT}" -> outDir, "{CONF}" -> kernelConfidence().toString)
+  }
+}

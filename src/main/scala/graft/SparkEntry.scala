@@ -21,11 +21,21 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** Synthetic docs-scale per sf dir: sf0.001→300, sf0.01→3000, sf0.1→30000. */
-  private def synthDocs(dir: String): Long = {
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
-    math.max((300000 * sf).toLong, 100L)
-  }
+  /** Oracle fixture table (staged by [[Fixtures.stage]]; `{OUT}` is
+    * substituted with the verify outDir when `oracle_sql.json` is written).
+    */
+  private def fx(name: String) = s"read_parquet('{OUT}/_fixtures/$name.parquet/*.parquet')"
+
+  /** Lexicon concept-id assignment re-derived in SQL — same total order
+    * (entity_type, surface) and C%07d format as `Lexicon.fromSurfaces`.
+    */
+  private val lexCte =
+    s"""lex AS (
+       |  SELECT surface, entity_type,
+       |    'C' || lpad(CAST(row_number() OVER (ORDER BY entity_type, surface) AS VARCHAR), 7, '0') AS concept_id
+       |  FROM ${fx("vocab")})""".stripMargin
+
+  private def synthDocs(dir: String): Long = Fixtures.synthDocs(dir)
 
   private def goldAndDocs(spark: SparkSession, dir: String) = {
     val g = DocsGen.gen(spark, synthDocs(dir), seed = 42L)
@@ -61,9 +71,12 @@ object SparkEntry {
     "kg_linked" -> ((s, dir) => {
       val (_, docs) = goldAndDocs(s, dir)
       val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      // link_score is dropped from the DRIVER-checked projection: the
+      // hashed context-embedding dot product is not SQL-derivable (scores
+      // are covered by sbt tests); concept assignment IS oracle-checked.
       Linker.link(mentions, lexicon(s)).toDF()
         .withColumn("confidence", round(col("confidence"), 6))
-        .withColumn("link_score", round(col("link_score"), 6))
+        .select("doc_id", "span_idx", "entity_type", "text", "start", "end", "confidence", "concept_id")
         .orderBy("doc_id", "span_idx", "start")
     }),
     "kg_components" -> ((s, dir) => {
@@ -228,11 +241,11 @@ object SparkEntry {
     }),
     // ---------------------------------------------------------------- aug / sinks / stats / streaming
     "aug_corpus_tags" -> ((s, dir) => {
-      // augmentation dataflow (U1-U4): original ∪ augmented, tag counts
+      // augmentation dataflow (U1-U4): original ∪ augmented, tag counts —
+      // oracle = the same corpus augmented by a sequential driver-side
+      // loop (partition-independence is exactly what's under test)
       val (g, _) = goldAndDocs(s, dir)
-      val syn = Map("检查" -> IndexedSeq("查验", "检测"), "发现" -> IndexedSeq("查见"))
-      val ent = DocsGen.Vocab.map { case (k, v) => k -> v }
-      val aug = graft.aug.Augment.augmentCorpus(DocsGen.goldSentences(g), syn, ent)
+      val aug = graft.aug.Augment.augmentCorpus(DocsGen.goldSentences(g), Fixtures.AugSynonyms, DocsGen.Vocab)
       import s.implicits._
       aug.flatMap(_.tags).toDF("tag").groupBy("tag").agg(count(lit(1)).as("n")).orderBy("tag")
     }),
@@ -288,8 +301,56 @@ object SparkEntry {
       Multimodal.decode(Multimodal.mediaTable(docs)).toDF()
         .select(col("doc_id"), col("span_idx"), col("kind"), col("media_ref"),
           col("meta.width"), col("meta.height"), col("meta.sample_rate"), col("meta.format"),
-          round(element_at(col("features"), 1), 5).as("f0"))
+          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
         .orderBy("doc_id", "span_idx")
+    }),
+
+    "lexicon_prune" -> ((s, dir) => {
+      // frequency-threshold pruning (model_optimization.py:60-84 analog):
+      // keep lexicon entries whose surface covers >= total/40 mentions
+      val (g, _) = goldAndDocs(s, dir)
+      val mentions = DocsGen.goldMentions(g)
+      val counts = mentions.groupBy(col("text").as("surface")).agg(count(lit(1)).as("n"))
+      val minCount = mentions.count() / 40
+      Lexicon.prune(lexicon(s), counts, minCount).toDF()
+        .select("concept_id", "surface", "entity_type")
+        .orderBy("concept_id")
+    }),
+
+    // ------------------------------------------- metrics surface (A2, A5, A6, S9)
+    "stats_entity_type_dist" -> ((s, dir) => {
+      val (_, docs) = goldAndDocs(s, dir)
+      graft.metrics.LabelStats.entityTypeDistribution(
+        KgPipeline.detectMentions(docs, DocsGen.vocabEntries))
+    }),
+    "metrics_confusion" -> ((s, dir) => {
+      val (g, docs) = goldAndDocs(s, dir)
+      val pred = graft.metrics.ReferenceEval.tagsFromMentions(
+        KgPipeline.sentences(docs), KgPipeline.detectMentions(docs, DocsGen.vocabEntries))
+      SpanMetrics.confusion(graft.metrics.ReferenceEval.tokenPairs(DocsGen.goldSentences(g), pred))
+        .orderBy("gold_type", "pred_type")
+    }),
+    "metrics_report" -> ((s, dir) => {
+      import s.implicits._
+      val (g, docs) = goldAndDocs(s, dir)
+      val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      SpanMetrics.report(SpanMetrics.perType(pred, DocsGen.goldMentions(g)))
+        .toDS().toDF()
+        .withColumn("precision", round(col("precision"), 6))
+        .withColumn("recall", round(col("recall"), 6))
+        .withColumn("f1", round(col("f1"), 6))
+        .orderBy("entity_type")
+    }),
+    "sink_prediction_dump" -> ((s, dir) => {
+      val (g, docs) = goldAndDocs(s, dir)
+      val pred = graft.metrics.ReferenceEval.tagsFromMentions(
+        KgPipeline.sentences(docs), KgPipeline.detectMentions(docs, DocsGen.vocabEntries))
+      graft.metrics.ReferenceEval.predictionDump(DocsGen.goldSentences(g), pred)
+        .select(col("id"), col("span_idx"),
+          array_join(col("words"), "").as("words"),
+          array_join(col("true_labels"), " ").as("true_labels"),
+          array_join(col("pred_labels"), " ").as("pred_labels"))
+        .orderBy("id", "span_idx")
     })
   )
 
@@ -375,6 +436,203 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // ---------------------------------------------------------------- KG surface
+    // (gold_* fixtures come from the deterministic generator, never the
+    // pipeline; concept ids are RE-DERIVED in SQL via the same total order
+    // as Lexicon.fromSurfaces; {CONF} is the measured kernel confidence)
+    "kg_mentions" ->
+      s"""SELECT doc_id, span_idx, entity_type, text, "start", "end",
+         |  round({CONF}, 6) AS confidence
+         |FROM ${fx("gold_mentions")}
+         |ORDER BY doc_id, span_idx, "start"""".stripMargin,
+    "kg_linked" ->
+      s"""WITH $lexCte
+         |SELECT m.doc_id, m.span_idx, m.entity_type, m.text, m."start", m."end",
+         |  round({CONF}, 6) AS confidence, l.concept_id
+         |FROM ${fx("gold_mentions")} m
+         |JOIN lex l ON m.text = l.surface AND m.entity_type = l.entity_type
+         |ORDER BY m.doc_id, m.span_idx, m."start"""".stripMargin,
+    "kg_components" ->
+      s"""WITH $lexCte,
+         |surf AS (SELECT DISTINCT m.text, l.concept_id
+         |         FROM ${fx("gold_mentions")} m
+         |         JOIN lex l ON m.text = l.surface AND m.entity_type = l.entity_type),
+         |nodes AS (
+         |  SELECT concept_id AS node, concept_id AS component FROM surf
+         |  UNION
+         |  SELECT 'S:' || text AS node, concept_id AS component FROM surf)
+         |SELECT node, component FROM nodes ORDER BY node""".stripMargin,
+    "kg_triples" ->
+      s"""WITH $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |r(st, ot, pred) AS (VALUES
+         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
+         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
+         |  ('Diseases','Operation','treated_with'))
+         |SELECT a.concept_id AS subj, r.pred, b.concept_id AS obj, a.doc_id AS doc_id,
+         |       a.entity_type AS subj_type, b.entity_type AS obj_type
+         |FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "kg_span_metrics" ->
+      s"""WITH c AS (
+         |  SELECT entity_type, count(*) AS n FROM (
+         |    SELECT DISTINCT doc_id, span_idx, "start", "end", entity_type FROM ${fx("gold_mentions")})
+         |  GROUP BY entity_type)
+         |SELECT entity_type, n AS tp, n AS pred_count, n AS gold_count,
+         |  CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall, CAST(1.0 AS DOUBLE) AS f1
+         |FROM c ORDER BY entity_type""".stripMargin,
+    "kg_bio_roundtrip" ->
+      s"""SELECT entity_type, count(*) AS n FROM ${fx("gold_mentions")}
+         |GROUP BY entity_type ORDER BY entity_type""".stripMargin,
+
+    "lexicon_prune" ->
+      s"""WITH $lexCte,
+         |cnt AS (SELECT text AS surface, count(*) AS n FROM ${fx("gold_mentions")} GROUP BY text),
+         |thr AS (SELECT count(*) // 40 AS k FROM ${fx("gold_mentions")})
+         |SELECT l.concept_id, l.surface, l.entity_type
+         |FROM lex l JOIN cnt c ON l.surface = c.surface CROSS JOIN thr
+         |WHERE c.n >= thr.k
+         |ORDER BY l.concept_id""".stripMargin,
+
+    // ---------------------------------------------------------------- stats / metrics
+    "stats_label_dist" ->
+      s"""WITH t AS (SELECT tag, count(*) AS n FROM ${fx("gold_tags")} WHERE tag <> 'O' GROUP BY tag)
+         |SELECT tag, n, round(n / (SELECT sum(n) FROM t), 6) AS share
+         |FROM t ORDER BY n DESC, tag""".stripMargin,
+    "stats_length_hist" ->
+      s"""SELECT CAST(floor(len / 10) * 10 AS BIGINT) AS len_bucket, count(*) AS n
+         |FROM ${fx("gold_sentences")} GROUP BY 1 ORDER BY len_bucket""".stripMargin,
+    "stats_entity_type_dist" ->
+      s"""SELECT entity_type, count(*) AS n FROM ${fx("gold_mentions")}
+         |GROUP BY entity_type ORDER BY n DESC, entity_type""".stripMargin,
+    "metrics_confusion" ->
+      s"""WITH t AS (
+         |  SELECT CASE WHEN tag = 'O' THEN 'O' ELSE substring(tag, 3) END AS tp, count(*) AS n
+         |  FROM ${fx("gold_tags")} GROUP BY 1)
+         |SELECT tp AS gold_type, tp AS pred_type, n FROM t ORDER BY gold_type, pred_type""".stripMargin,
+    "metrics_report" ->
+      s"""WITH c AS (
+         |  SELECT entity_type, count(*) AS n FROM (
+         |    SELECT DISTINCT doc_id, span_idx, "start", "end", entity_type FROM ${fx("gold_mentions")})
+         |  GROUP BY entity_type),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+         |SELECT entity_type, n AS tp, n AS pred_count, n AS gold_count,
+         |  CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall, CAST(1.0 AS DOUBLE) AS f1
+         |FROM c
+         |UNION ALL SELECT 'micro avg', t, t, t, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM tot
+         |UNION ALL SELECT 'macro avg', t, t, t, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM tot
+         |UNION ALL SELECT 'weighted avg', t, t, t, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM tot
+         |ORDER BY entity_type""".stripMargin,
+
+    // ---------------------------------------------------------------- sinks
+    "sink_bio" ->
+      s"""SELECT doc_id, span_idx, string_agg(ch || chr(9) || tag, chr(10) ORDER BY pos) AS bio
+         |FROM ${fx("gold_tags")} GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx""".stripMargin,
+    "sink_markup" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, span_idx, "start", "end", entity_type,
+         |         lag("end", 1, 0) OVER (PARTITION BY doc_id, span_idx ORDER BY "start") AS prev_end
+         |  FROM ${fx("gold_mentions")}),
+         |seg AS (
+         |  SELECT e.doc_id, e.span_idx,
+         |    string_agg(substring(s.text, prev_end + 1, "start" - prev_end) || '[' || entity_type || ':' ||
+         |               substring(s.text, "start" + 1, "end" - "start") || ']', '' ORDER BY "start") AS body,
+         |    max("end") AS last_end
+         |  FROM e JOIN ${fx("gold_sentences")} s
+         |    ON e.doc_id = s.doc_id AND e.span_idx = s.span_idx
+         |  GROUP BY e.doc_id, e.span_idx)
+         |SELECT s.doc_id, s.span_idx,
+         |  coalesce(seg.body, '') || substring(s.text, coalesce(seg.last_end, 0) + 1) AS marked
+         |FROM ${fx("gold_sentences")} s
+         |LEFT JOIN seg ON s.doc_id = seg.doc_id AND s.span_idx = seg.span_idx
+         |ORDER BY s.doc_id, s.span_idx""".stripMargin,
+    "sink_json_records" ->
+      s"""WITH ej AS (
+         |  SELECT doc_id, span_idx,
+         |    string_agg('{"text":"' || text || '","type":"' || entity_type ||
+         |               '","start":' || CAST("start" AS VARCHAR) || ',"end":' || CAST("end" AS VARCHAR) || '}',
+         |               ',' ORDER BY "start") AS ents
+         |  FROM ${fx("gold_mentions")} GROUP BY doc_id, span_idx)
+         |SELECT s.doc_id, s.span_idx,
+         |  '{"text":"' || s.text || '","entities":[' || coalesce(ej.ents, '') || ']}' AS json
+         |FROM ${fx("gold_sentences")} s
+         |LEFT JOIN ej ON s.doc_id = ej.doc_id AND s.span_idx = ej.span_idx
+         |ORDER BY s.doc_id, s.span_idx""".stripMargin,
+    "sink_prediction_dump" ->
+      s"""SELECT doc_id AS id, span_idx,
+         |  string_agg(ch, '' ORDER BY pos) AS words,
+         |  string_agg(tag, ' ' ORDER BY pos) AS true_labels,
+         |  string_agg(tag, ' ' ORDER BY pos) AS pred_labels
+         |FROM ${fx("gold_tags")} GROUP BY doc_id, span_idx ORDER BY id, span_idx""".stripMargin,
+
+    // golden constants measured from the reference's OWN artifacts
+    // (results/test_predictions.txt vs data/test.txt; supports match
+    // evaluation_results.json:21-56) — pinned so any regression in the
+    // seqeval-parity path (BioCorpus read, seqevalEntities, SpanMetrics)
+    // turns this row red
+    "ref_seqeval_metrics" ->
+      """SELECT entity_type, CAST(tp AS BIGINT) AS tp, CAST(pc AS BIGINT) AS pred_count,
+        |  CAST(gc AS BIGINT) AS gold_count, CAST(p AS DOUBLE) AS precision,
+        |  CAST(r AS DOUBLE) AS recall, CAST(f AS DOUBLE) AS f1
+        |FROM (VALUES
+        |  ('Anatomical', 793, 1017, 944, 0.779744, 0.840042, 0.808771),
+        |  ('Diseases', 354, 431, 441, 0.821346, 0.802721, 0.811927),
+        |  ('Drug', 156, 169, 173, 0.923077, 0.901734, 0.912281),
+        |  ('Image', 80, 98, 93, 0.816327, 0.860215, 0.837696),
+        |  ('Laboratory', 121, 165, 150, 0.733333, 0.806667, 0.768254),
+        |  ('Operation', 71, 91, 88, 0.78022, 0.806818, 0.793296))
+        |  v(entity_type, tp, pc, gc, p, r, f)
+        |ORDER BY entity_type""".stripMargin,
+
+    // ------------------------------------------------------- aug / dedup / ANN
+    // (expected_* fixtures are LOCAL-REFERENCE results: sequential
+    // brute-force re-derivations of the banding/bucketing semantics —
+    // see Fixtures.scala)
+    "aug_corpus_tags" ->
+      s"""SELECT tag, n FROM ${fx("expected_aug_tags")} ORDER BY tag""",
+    "dedup_minhash_pairs" ->
+      s"""SELECT id_a, id_b, est_jaccard FROM ${fx("expected_minhash_pairs")} ORDER BY id_a, id_b""",
+    "dedup_simhash" ->
+      s"""SELECT doc_id, simhash FROM ${fx("expected_simhash")} ORDER BY doc_id""",
+    "docs_langid" ->
+      s"""SELECT doc_id, lang_pred FROM ${fx("expected_langid")} ORDER BY doc_id""",
+    "docs_fingerprint" ->
+      s"""SELECT doc_id, fingerprint FROM ${fx("expected_fingerprint")} ORDER BY doc_id""",
+    "dedup_embedding_neardup" ->
+      s"""SELECT id_a, id_b, cosine FROM ${fx("expected_neardup")} ORDER BY id_a, id_b""",
+    "ann_lsh_topk" ->
+      s"""SELECT query_id, neighbor_id, cosine, rank FROM ${fx("expected_ann_lsh")}
+         |ORDER BY query_id, rank""".stripMargin,
+    "multimodal_decode" ->
+      s"""SELECT doc_id, span_idx, kind, media_ref, width, height, sample_rate, format, f0
+         |FROM ${fx("expected_multimodal")} ORDER BY doc_id, span_idx""".stripMargin,
+    "dedup_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 2), ' '))
+        |    END AS shs
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+        |  FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin
   )
 }

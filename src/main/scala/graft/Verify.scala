@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Before the queries run, [[Fixtures.stage]] writes the oracle fixture
+  * tables under `<outDir>/_fixtures/` (gold generator tables + local-
+  * reference expected outputs) and returns the placeholder substitutions
+  * (`{OUT}` → outDir, `{CONF}` → measured kernel confidence) applied to
+  * the oracle SQL when it is dumped.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,12 +22,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    val subs = Fixtures.stage(spark, sfDir, outDir)
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release anything the query persisted internally (pipeline mention
+      // cache, dedup signature cache) so 37 queries in one session don't
+      // accumulate cached blocks
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -35,7 +49,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v0) =>
+        val v = subs.foldLeft(v0) { case (s, (ph, rep)) => s.replace(ph, rep) }
+        s"${q(k)}: ${q(v)}"
+      }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -12,16 +12,24 @@ import org.apache.spark.sql.functions._
   * The unit of progress is a CHUNK: `pmod(xxhash64(doc_id), nChunks)` —
   * deterministic, partition-independent, and stable across restarts (the
   * Spark analog of the reference's per-epoch checkpointing loop,
-  * `train_enhanced.py:426-449`). For each incomplete chunk the driver:
+  * `train_enhanced.py:426-449`).
   *
-  *   1. filters the docs table to the chunk (predicate pushes to the scan),
-  *   2. runs the full KG pipeline on it,
-  *   3. appends the triples as ONE Icebergish snapshot (atomic commit),
-  *   4. appends a ChunkProgress row (docs/mentions/triples counts, wall
-  *      time, input lineage hash) to the progress table.
+  * The docs table is STAGED ONCE, partitioned by the chunk key, before the
+  * chunk loop. Each chunk then reads only its own partition directory
+  * (Catalyst partition pruning — assert via `PartitionFilters` in the scan
+  * node). The round-1 design filtered the ORIGINAL table per chunk, which
+  * cannot prune: nChunks × full-table scans, i.e. ~1024 extra full reads
+  * of a 100 TB table at nChunks=1024.
+  *
+  * Per incomplete chunk the driver:
+  *   1. reads the chunk's partition (pruned scan),
+  *   2. computes docs count + input lineage hash in ONE aggregation job,
+  *   3. runs the full KG pipeline on it,
+  *   4. appends the triples as ONE Icebergish snapshot (atomic commit),
+  *   5. appends a ChunkProgress row (counts, wall time, lineage hash).
   *
   * A restart reads the progress table and skips completed chunks; a crash
-  * between (3) and (4) re-runs one chunk, whose snapshot is superseded —
+  * between (4) and (5) re-runs one chunk, whose snapshot is superseded —
   * consumers read `triples` via the manifest chain, and `dedupe` on
   * (chunk) can be layered if exactly-once matters downstream.
   */
@@ -37,7 +45,33 @@ object Resumable {
     }
   }
 
+  /** Stage the docs table partitioned by chunk (idempotent: skipped when
+    * the staging dir already exists — chunkOf is deterministic, so a
+    * restart reuses the previous run's staging).
+    */
+  def stageByChunk(docs: Dataset[Doc], nChunks: Int, stagingPath: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stagingPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stagingPath, "_SUCCESS"))) {
+      docs.toDF()
+        .withColumn("chunk", chunkOf(nChunks))
+        .write.mode("overwrite").partitionBy("chunk").parquet(stagingPath)
+    }
+  }
+
+  /** One chunk's docs, read partition-pruned from the staging table. */
+  def stagedChunk(spark: SparkSession, stagingPath: String, chunk: Int): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(stagingPath)
+      .filter(col("chunk") === chunk)
+      .drop("chunk")
+      .as[Doc]
+  }
+
   /** Run (or resume) a full pipeline over the docs table.
+    * @param stagingDir where the chunk-partitioned copy of docs lives;
+    *                   defaults to `<progressRoot>/_staging`
     * @return per-chunk progress rows of THIS invocation
     */
   def run(
@@ -47,29 +81,40 @@ object Resumable {
       progressRoot: String,
       nChunks: Int,
       runId: String,
-      failAfterChunks: Int = Int.MaxValue): Seq[ChunkProgress] = {
+      failAfterChunks: Int = Int.MaxValue,
+      stagingDir: Option[String] = None): Seq[ChunkProgress] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    val staging = stagingDir.getOrElse(s"$progressRoot/_staging")
     val done = completedChunks(spark, progressRoot)
     val out = Seq.newBuilder[ChunkProgress]
     var executed = 0
 
-    (0 until nChunks).filterNot(done).foreach { chunk =>
+    val todo = (0 until nChunks).filterNot(done)
+    if (todo.nonEmpty) stageByChunk(docs, nChunks, staging)
+
+    todo.foreach { chunk =>
       if (executed >= failAfterChunks) throw new RuntimeException(s"injected failure before chunk $chunk")
       val t0 = System.nanoTime()
-      val chunkDocs = docs.filter(chunkOf(nChunks) === chunk)
+      val chunkDocs = stagedChunk(spark, staging, chunk)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDocs = chunkDocs.count()
-      // input lineage hash: checksum of doc ids + span signature, proving
-      // WHAT data this chunk covered (decimal sum — ANSI-safe)
-      val inputHash = KgPipeline.spanSignature(chunkDocs.toDF())
-        .agg(sum(xxhash64(col("doc_id"), col("span_sig")).cast("decimal(38,0)")))
-        .head().getDecimal(0)
-      val triples = KgPipeline.run(chunkDocs, lexicon)
+      // ONE job: docs count + input lineage hash (checksum of doc ids +
+      // span signature, proving WHAT data this chunk covered; decimal sum
+      // — ANSI-safe)
+      val statsRow = KgPipeline.spanSignature(chunkDocs.toDF())
+        .agg(
+          count(lit(1)).as("n"),
+          sum(xxhash64(col("doc_id"), col("span_sig")).cast("decimal(38,0)")).as("h"))
+        .head()
+      val nDocs = statsRow.getLong(0)
+      val inputHash = statsRow.getDecimal(1)
+      val (chunkTriples, cleanup) = KgPipeline.runWithCleanup(chunkDocs, lexicon)
+      val triples = chunkTriples
         .withColumn("chunk", lit(chunk))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTriples = triples.count()
+      cleanup() // pipeline-internal caches released per chunk
       Icebergish.commit(triples.toDF(), triplesRoot, "append")
       val wallMs = (System.nanoTime() - t0) / 1000000
       val progress = ChunkProgress(

@@ -110,13 +110,18 @@ object Bio {
     var curStart = 0
     var curEnd = 0
     var curTokStart = 0
+    var curTokEnd = 0 // exclusive kept-token index of the entity's last token
     val n = math.min(tokens.length, labels.length)
     var j = 0
 
     def flush(): Unit = {
       if (curType != null) {
         val text = cleanEntityName(curTokens.toString.replace("##", ""))
-        out += ((curType, text, curStart, curEnd, confOf(curTokStart, keptIdx)))
+        // confidence range is [curTokStart, curTokEnd) — the entity's OWN
+        // tokens only. (Using the running keptIdx here would include the
+        // non-entity token that triggered the flush, diverging from the
+        // Kernel's exact [start,end) average.)
+        out += ((curType, text, curStart, curEnd, confOf(curTokStart, curTokEnd)))
         curType = null
         curTokens = null
       }
@@ -137,10 +142,12 @@ object Bio {
           curStart = startOfTok
           curEnd = kept
           curTokStart = keptIdx - 1
+          curTokEnd = keptIdx
         } else if (label.startsWith("I-") && curType != null) {
           if (label.substring(2) == curType) {
             curTokens.append(tok)
             curEnd = kept
+            curTokEnd = keptIdx
           }
           // type mismatch: token is kept (counts in offsets) but ignored
         } else if (label == "O") {

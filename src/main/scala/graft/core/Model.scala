@@ -66,6 +66,17 @@ case class LexiconEntry(
     entity_type: String,
     embedding: Array[Float])
 
+/** Int8-quantized lexicon row (symmetric per-vector scale) — the
+  * reference's dynamic-quantization analog (`model_optimization.py:86-122`):
+  * a 4× smaller broadcast for the linker at UMLS scale.
+  */
+case class QuantizedLexiconEntry(
+    concept_id: String,
+    surface: String,
+    entity_type: String,
+    qembedding: Array[Byte],
+    scale: Float)
+
 /** A linked mention: mention + best concept candidate and its score. */
 case class LinkedMention(
     doc_id: String,

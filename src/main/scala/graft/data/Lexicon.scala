@@ -1,6 +1,6 @@
 package graft.data
 
-import graft.core.{Hashing, LexiconEntry, Mention, TaggedSentence}
+import graft.core.{Hashing, LexiconEntry, Mention, QuantizedLexiconEntry, TaggedSentence}
 import graft.detect.Detector
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -40,22 +40,72 @@ object Lexicon {
     fromSurfaces(surfaces.as[(String, String)])
   }
 
-  /** Build lexicon rows from distinct (surface, entity_type) pairs. */
+  /** Build lexicon rows from distinct (surface, entity_type) pairs.
+    *
+    * Id assignment: global range-partitioned sort on (entity_type,
+    * surface), then `zipWithIndex` — ids are identical for ANY input
+    * partitioning and the sort runs DISTRIBUTED. (Round 1 used a
+    * row_number over an empty window frame: same ids, but a single-task
+    * sort that would serialize a UMLS-scale ~15M-row lexicon build.)
+    */
   def fromSurfaces(surfaces: Dataset[(String, String)]): Dataset[LexiconEntry] = {
     val spark = surfaces.sparkSession
     import spark.implicits._
-    val w = Window.orderBy($"_2", $"_1") // total order → stable ids.
-    // Window without partition = single-task sort; fine for a lexicon
-    // (small side by contract — it must broadcast). At true UMLS scale
-    // (~15M rows) swap for zipWithIndex over a sorted Dataset.
-    surfaces
+    val sorted = surfaces
       .toDF("surface", "entity_type")
-      .withColumn("rn", row_number().over(Window.orderBy($"entity_type", $"surface")))
-      .as[(String, String, Int)]
-      .map { case (surface, tpe, rn) =>
-        val cid = f"C${rn}%07d"
-        LexiconEntry(cid, surface, tpe, Hashing.embedding(cid + "|" + surface, EmbeddingDim))
-      }
+      .orderBy($"entity_type", $"surface")
+      .as[(String, String)]
+    // zipWithIndex preserves the range-partitioned sort order, so index i
+    // equals (row_number - 1) of the old single-task plan
+    val indexed = sorted.rdd.zipWithIndex.map { case ((surface, tpe), i) =>
+      val cid = f"C${i + 1}%07d"
+      LexiconEntry(cid, surface, tpe, Hashing.embedding(cid + "|" + surface, EmbeddingDim))
+    }
+    spark.createDataset(indexed)
+  }
+
+  /** Frequency-threshold lexicon pruning — the Spark analog of the
+    * reference's magnitude pruning (`model_optimization.py:60-84`,
+    * SURVEY §4.1): drop entries whose surface occurs fewer than `minCount`
+    * times in the corpus, shrinking the broadcast. `surfaceCounts` is a
+    * (surface, n) table, e.g. from mentions.groupBy(text).count() — it is
+    * aggregated (vocabulary-bounded), so the join broadcasts.
+    */
+  def prune(
+      lex: Dataset[LexiconEntry],
+      surfaceCounts: org.apache.spark.sql.DataFrame,
+      minCount: Long): Dataset[LexiconEntry] = {
+    val spark = lex.sparkSession
+    import spark.implicits._
+    lex.join(
+        broadcast(surfaceCounts.select($"surface", $"n".cast("long").as("n"))),
+        Seq("surface"), "left")
+      .filter(coalesce($"n", lit(0L)) >= minCount)
+      .select($"concept_id", $"surface", $"entity_type", $"embedding")
+      .as[LexiconEntry]
+  }
+
+  /** Symmetric per-vector int8 quantization of the lexicon embeddings —
+    * the analog of the reference's dynamic int8 quantization
+    * (`model_optimization.py:86-122`): 4× smaller broadcast/storage;
+    * `dequantize` restores approximate float vectors for scoring.
+    */
+  def quantize(lex: Dataset[LexiconEntry]): Dataset[QuantizedLexiconEntry] = {
+    val spark = lex.sparkSession
+    import spark.implicits._
+    lex.map { e =>
+      val maxAbs = if (e.embedding.isEmpty) 0f else e.embedding.map(math.abs).max
+      val scale = if (maxAbs > 0) maxAbs / 127f else 1f
+      val q = e.embedding.map(x => math.round(x / scale).toByte)
+      QuantizedLexiconEntry(e.concept_id, e.surface, e.entity_type, q, scale)
+    }
+  }
+
+  def dequantize(q: Dataset[QuantizedLexiconEntry]): Dataset[LexiconEntry] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.map(e => LexiconEntry(e.concept_id, e.surface, e.entity_type,
+      e.qembedding.map(b => b * e.scale)))
   }
 
   /** Gazetteer view for the detector: surface → type. Collected to the

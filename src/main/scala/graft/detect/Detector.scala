@@ -161,7 +161,10 @@ object Detector {
       }
       i = 0
       while (i < n) {
-        val m = trie.longestMatch(text, i, n)
+        // bound the trie scan by gaz.maxLen so this kernel and the
+        // map-probe kernel (emissions()) agree on surfaces longer than the
+        // gazetteer cap (they must stay interchangeable)
+        val m = trie.longestMatch(text, i, math.min(i + gaz.maxLen, n))
         if (m > 0) {
           em(i)(bId(trie.lastType)) = 8.0f
           var k = 1

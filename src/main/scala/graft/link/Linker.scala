@@ -51,9 +51,14 @@ object Linker {
   /** Blocking keys for a surface: (first char + length bucket) and a
     * 2-char-prefix key. Multiple keys raise candidate recall; `explode`
     * keeps it a narrow op.
+    *
+    * An EMPTY surface (decodeBio can clean a mention's text to "") gets a
+    * sentinel key that matches no lexicon surface, so the mention still
+    * flows through the left join and lands on the `S:` fallback concept —
+    * an empty key list would make `explode` silently DROP the mention.
     */
   def blockingKeys(text: String): Seq[String] = {
-    if (text.isEmpty) Seq.empty
+    if (text.isEmpty) Seq("#empty")
     else {
       val lenBucket = math.min(text.length, 8)
       val k1 = s"${text.charAt(0)}#$lenBucket"

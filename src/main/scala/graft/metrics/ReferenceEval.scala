@@ -26,14 +26,15 @@ object ReferenceEval {
     val spark = gold.sparkSession
     import spark.implicits._
     val paired = gold
-      .joinWith(pred, gold("doc_id") === pred("doc_id"), "inner")
+      .joinWith(pred,
+        gold("doc_id") === pred("doc_id") && gold("span_idx") === pred("span_idx"), "inner")
 
     def side(extractPred: Boolean): Dataset[Mention] =
       paired.flatMap { case (g, p) =>
         val n = math.min(g.tags.length, p.tags.length)
         val tags = (if (extractPred) p.tags else g.tags).slice(0, n).toIndexedSeq
         Bio.seqevalEntities(tags).map { case (tpe, s, e) =>
-          Mention(g.doc_id, 0, tpe, "", s, e, 1.0)
+          Mention(g.doc_id, g.span_idx, tpe, "", s, e, 1.0)
         }
       }
 
@@ -49,7 +50,8 @@ object ReferenceEval {
     val spark = gold.sparkSession
     import spark.implicits._
     gold
-      .joinWith(pred, gold("doc_id") === pred("doc_id"), "inner")
+      .joinWith(pred,
+        gold("doc_id") === pred("doc_id") && gold("span_idx") === pred("span_idx"), "inner")
       .flatMap { case (g, p) =>
         val n = math.min(g.tags.length, p.tags.length)
         (0 until n).map(i => (g.tags(i), p.tags(i)))
@@ -57,8 +59,31 @@ object ReferenceEval {
       .toDF("gold_tag", "pred_tag")
   }
 
+  /** Re-encode detected mentions to per-char BIO tags per sentence (the
+    * inverse codec) — builds the PREDICTED TaggedSentence corpus that the
+    * confusion-matrix and prediction-dump operators compare against gold.
+    */
+  def tagsFromMentions(
+      sents: Dataset[graft.core.Sentence],
+      mentions: Dataset[Mention]): Dataset[TaggedSentence] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ents = mentions
+      .groupBy($"doc_id", $"span_idx")
+      .agg(collect_list(struct($"entity_type", $"start", $"end")).as("ents"))
+    sents.join(ents, Seq("doc_id", "span_idx"), "left")
+      .select($"doc_id", $"span_idx", $"text",
+        coalesce($"ents", array()).as("ents"))
+      .as[(String, Int, String, Seq[(String, Int, Int)])]
+      .map { case (d, si, text, es) =>
+        TaggedSentence(d, si, text.map(_.toString), Bio.encodeBio(text.length, es))
+      }
+  }
+
   /** The reference's per-token prediction dump (S9, `evaluate.py:399-419`):
-    * `{id, words, true_labels, pred_labels}` JSON rows.
+    * `{id, words, true_labels, pred_labels}` JSON rows (plus span_idx —
+    * our docs carry several sentences each).
     */
   def predictionDump(
       gold: Dataset[TaggedSentence],
@@ -66,12 +91,13 @@ object ReferenceEval {
     val spark = gold.sparkSession
     import spark.implicits._
     gold
-      .joinWith(pred, gold("doc_id") === pred("doc_id"), "inner")
+      .joinWith(pred,
+        gold("doc_id") === pred("doc_id") && gold("span_idx") === pred("span_idx"), "inner")
       .map { case (g, p) =>
         val n = math.min(g.tags.length, p.tags.length)
-        (g.doc_id, g.chars.take(n), g.tags.take(n), p.tags.take(n))
+        (g.doc_id, g.span_idx, g.chars.take(n), g.tags.take(n), p.tags.take(n))
       }
-      .toDF("id", "words", "true_labels", "pred_labels")
+      .toDF("id", "span_idx", "words", "true_labels", "pred_labels")
   }
 
   /** Full comparison → per-type metrics + micro row, reproducing the

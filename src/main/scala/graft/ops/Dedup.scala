@@ -211,9 +211,14 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Embedding cosine near-duplicate pairs, LSH-bucketed: random-hyperplane
-    * sign bits (deterministic planes) form the blocking key; exact cosine
-    * verifies candidates. `planes` trades recall vs bucket size.
+  /** Embedding cosine near-duplicate pairs, banded-LSH bucketed
+    * (minhash-LSH-style OR-amplification): `planes` random-hyperplane sign
+    * bits split into `bands` keys of planes/bands bits; a candidate pair
+    * agrees on ≥1 full band. At the default 32 planes × 4 bands, a
+    * 0.98-cosine pair collides on a band with p≈0.94 each (≈1-4e-5 on any),
+    * while an unrelated pair passes with p≈4/256. Hot buckets are capped at
+    * `maxBucket` members before pairing — the quadratic-blowup guard the
+    * round-1 version lacked. Exact cosine verifies candidates.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -221,33 +226,27 @@ object Dedup {
       idCol: String,
       dim: Int,
       threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
-    val planeVecs: Array[Array[Double]] =
-      Array.tabulate(planes)(p => Array.tabulate(dim)(d =>
-        Hashing.uniformDouble(Hashing.hash2(0xB17, p * 1024 + d)) * 2 - 1))
-    val signUdf = udf((v: Seq[Float]) => {
-      var key = 0L
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0; var d = 0
-        val n = math.min(dim, v.length)
-        while (d < n) { dot += planeVecs(p)(d) * v(d); d += 1 }
-        if (dot >= 0) key |= (1L << p)
-        p += 1
-      }
-      key
-    })
-    val dotCol = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")), lit(0.0), (acc, v) => acc + v)
+      planes: Int = 32,
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val pv = Similarity.planeVectors(0xB17, planes, dim)
+    val bandsUdf = udf((v: Seq[Float]) => Similarity.signBands(v, pv, bands))
     val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", signUdf(col("v")))
-      .withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
-    val a = withKey.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
-    val b = withKey.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    a.join(b, Seq("bucket"))
+      .select(col("id"), col("v"), posexplode(bandsUdf(col("v"))).as(Seq("band", "bucket")))
+    val bucketSizes = withKey.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+    val pruned = withKey.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
-        round(dotCol(col("v_a"), col("v_b")) / greatest(col("n_a") * col("n_b"), lit(1e-12)), 6))
+        round(
+          Similarity.dotCol(col("v_a"), col("v_b")) /
+            greatest(
+              sqrt(Similarity.dotCol(col("v_a"), col("v_a"))) *
+                sqrt(Similarity.dotCol(col("v_b"), col("v_b"))), lit(1e-12)), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -49,8 +49,22 @@ object Icebergish {
   def currentSnapshotId(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     val p = new Path(root, "current")
-    if (!f.exists(p)) None
-    else {
+    if (!f.exists(p)) {
+      // recovery fallback: a crash before the FIRST pointer flip (the only
+      // remaining window — later flips are rename-with-overwrite, atomic)
+      // leaves fully-written manifests with no pointer; resolve to the max
+      // manifest id so readers never fail on a mid-bootstrap table.
+      val mDir = new Path(root, "manifests")
+      if (!f.exists(mDir)) None
+      else {
+        val ids = f.listStatus(mDir).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+            n.stripPrefix("snap-").stripSuffix(".json").toLong
+          }
+        if (ids.isEmpty) None else Some(ids.max)
+      }
+    } else {
       val in = f.open(p)
       try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
       finally in.close()
@@ -122,14 +136,19 @@ object Icebergish {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
     finally out.close()
 
-    // atomic pointer flip: write tmp, rename over
+    // atomic pointer flip: write tmp, rename OVER the old pointer in one
+    // filesystem op (FileContext rename with OVERWRITE — posix rename(2)
+    // semantics). The previous delete-then-rename had a window where a
+    // racing reader found no `current` at all (ADVICE r1).
     val tmp = new Path(root, s"current.tmp-$id")
     val o2 = f.create(tmp, true)
     try o2.write(id.toString.getBytes(StandardCharsets.UTF_8))
     finally o2.close()
     val cur = new Path(root, "current")
-    if (f.exists(cur)) f.delete(cur, false)
-    if (!f.rename(tmp, cur)) sys.error(s"pointer flip failed for snapshot $id")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(new Path(root)).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(cur),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     id
   }
 

@@ -60,6 +60,21 @@ class PlanSpec extends AnyFunSuite {
       "aggregation lost its partial (map-side) phase")
   }
 
+  test("ANN top-k ranks via bounded partial aggregation, not a window") {
+    // a Window rank shuffles and sorts EVERY scored row (|corpus|×|queries|);
+    // the bounded TopKAgg caps the shuffle at k per (query, map task)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val brute = graft.ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    val lsh = graft.ops.Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5)
+    for ((name, df) <- Seq("brute" -> brute, "lsh" -> lsh)) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$name top-k still uses a window rank")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$name top-k lost its aggregation")
+    }
+  }
+
   test("headline aggregation runs inside whole-stage codegen") {
     // AQE wraps the plan; the codegen explain mode shows the compiled spans
     val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)

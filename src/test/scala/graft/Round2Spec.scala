@@ -1,0 +1,184 @@
+package graft
+
+import graft.canon.Canon
+import graft.core._
+import graft.data.{DocsGen, Lexicon}
+import graft.detect.Detector
+import graft.link.Linker
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 hardening: the correctness/scale gaps called out by the round-1
+  * review — LSH recall vs brute force, bounded top-k instead of window
+  * rank, high-diameter CC convergence with truncated lineage, empty-surface
+  * mention survival, partition-pruned resumable chunks, and exact kernel /
+  * decode confidence agreement.
+  */
+class Round2Spec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lshTopK recall@5 >= 0.8 vs bruteForceTopK on the sf embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall@5 = $recall (${(brute & lsh).size}/${brute.size})")
+  }
+
+  test("embeddingNearDupPairs recovers >= 0.9 of planted near-duplicates") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val perturb = udf((id: Long, v: Seq[Float]) => v.zipWithIndex.map { case (x, i) =>
+      x + (Hashing.uniformDouble(Hashing.hash2(id, i)) * 0.02 - 0.01).toFloat
+    })
+    val planted = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), perturb(col("vec_id"), col("embedding")).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(
+      e.select("vec_id", "embedding").union(planted), "embedding", "vec_id", dim = 64, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = (0L until 50L).count(id => pairs.contains((id, id + 100000)))
+    assert(recovered >= 45, s"recovered only $recovered/50 planted near-dups")
+  }
+
+  test("connected components converge on a chain graph with diameter > 10") {
+    import spark.implicits._
+    // 16-node chain: min label must propagate 15 hops; also checks the
+    // localCheckpoint path keeps the loop healthy past a few iterations
+    val chain = (0 until 15).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
+    val cc = Canon.connectedComponents(chain, maxIter = 20).collect()
+    assert(cc.length == 16)
+    assert(cc.forall(_.getString(1) == "n00"), s"labels: ${cc.mkString(",")}")
+  }
+
+  test("empty-surface mentions survive linking with the S: fallback concept") {
+    import spark.implicits._
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
+    val mentions = Seq(
+      Mention("d", 0, "Diseases", "胃癌", 0, 2, 1.0),
+      Mention("d", 0, "Diseases", "", 5, 6, 1.0) // cleaned-to-empty surface
+    ).toDS()
+    val linked = Linker.link(mentions, lex).collect()
+    assert(linked.length == 2, "empty-surface mention was dropped by the linker")
+    val empty = linked.find(_.text == "").get
+    assert(empty.concept_id == "S:")
+    assert(linked.find(_.text == "胃癌").get.concept_id.startsWith("C"))
+  }
+
+  test("resumable staged chunk read is partition-pruned") {
+    import spark.implicits._
+    val g = DocsGen.gen(spark, 100, seed = 21)
+    val staging = java.nio.file.Files.createTempDirectory("staging").toString + "/docs"
+    graft.checkpoint.Resumable.stageByChunk(DocsGen.docs(g), 4, staging)
+    val one = graft.checkpoint.Resumable.stagedChunk(spark, staging, 2)
+    val p = one.toDF().queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("chunk"),
+      s"chunk read does not prune partitions:\n$p")
+    // the four chunks partition the table exactly
+    val total = (0 until 4).map(c =>
+      graft.checkpoint.Resumable.stagedChunk(spark, staging, c).count()).sum
+    assert(total == 100)
+  }
+
+  test("lexicon ids are stable across input order and partitioning") {
+    import spark.implicits._
+    def key(e: LexiconEntry) = (e.concept_id, e.surface, e.entity_type, e.embedding.toSeq)
+    val a = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).collect().sortBy(_.concept_id).map(key)
+    val b = Lexicon.fromSurfaces(DocsGen.vocabEntries.reverse.toDS().repartition(7))
+      .collect().sortBy(_.concept_id).map(key)
+    assert(a.toSeq == b.toSeq)
+    // ids follow the (entity_type, surface) total order, 1-based C%07d
+    val expected = DocsGen.vocabEntries.sortBy(e => (e._2, e._1))
+    assert(a.map(t => (t._2, t._3)).toSeq == expected)
+    assert(a.map(_._1).toSeq == (1 to expected.length).map(i => f"C$i%07d"))
+  }
+
+  test("int8-quantized lexicon is 4x smaller and links identically") {
+    import spark.implicits._
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
+    val q = Lexicon.quantize(lex)
+    // 4x: one byte per component instead of a 4-byte float
+    val qRows = q.collect()
+    assert(qRows.forall(_.qembedding.length == Lexicon.EmbeddingDim))
+    // dequantization error bounded by scale/2 per component
+    val deq = Lexicon.dequantize(q).collect().map(e => e.concept_id -> e.embedding).toMap
+    lex.collect().foreach { e =>
+      val maxAbs = e.embedding.map(math.abs).max
+      val bound = maxAbs / 127f / 2f + 1e-6f
+      e.embedding.zip(deq(e.concept_id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= bound, s"${e.concept_id}: $x vs $y (bound $bound)")
+      }
+    }
+    // link output through the quantized lexicon equals the exact path
+    // (the exact-surface boost dominates the perturbed dot product)
+    val g = DocsGen.gen(spark, 50, seed = 13)
+    val mentions = DocsGen.goldMentions(g)
+    def links(l: org.apache.spark.sql.Dataset[LexiconEntry]) =
+      Linker.link(mentions, l).collect()
+        .map(m => (m.doc_id, m.span_idx, m.start, m.concept_id)).toSet
+    assert(links(Lexicon.dequantize(q)) == links(lex))
+  }
+
+  test("pruned lexicon links surviving surfaces identically") {
+    import spark.implicits._
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
+    val g = DocsGen.gen(spark, 100, seed = 17)
+    val mentions = DocsGen.goldMentions(g)
+    val counts = mentions.groupBy(col("text").as("surface")).agg(count(lit(1)).as("n"))
+    val minCount = 2L
+    val pruned = Lexicon.prune(lex, counts, minCount)
+    val kept = pruned.collect().map(_.surface).toSet
+    // every kept surface's mentions link to the same concept as before
+    val before = Linker.link(mentions, lex).collect()
+      .filter(m => kept(m.text)).map(m => (m.doc_id, m.span_idx, m.start, m.concept_id)).toSet
+    val after = Linker.link(mentions, pruned).collect()
+      .filter(m => kept(m.text)).map(m => (m.doc_id, m.span_idx, m.start, m.concept_id)).toSet
+    assert(after == before)
+    // and the pruned broadcast is strictly smaller when the threshold bites
+    assert(kept.size <= DocsGen.vocabEntries.size)
+  }
+
+  test("detectOne and the batched Kernel agree exactly, confidence included") {
+    val gaz = Detector.Gazetteer(DocsGen.vocabEntries)
+    val kernel = new Detector.Kernel(gaz, 128)
+    (0 until 50).foreach { i =>
+      val gd = DocsGen.buildDoc(i.toLong, seed = 77L)
+      gd.sentences.foreach { ts =>
+        val s = Sentence(ts.doc_id, ts.span_idx, ts.chars.mkString)
+        val a = Detector.detectOne(s, gaz, 128)
+        val b = kernel.detect(s)
+        assert(a == b, s"kernel mismatch on ${s.text}: $a vs $b")
+      }
+    }
+  }
+
+  test("decodeBio confidence range covers exactly the entity's own tokens") {
+    val toks = IndexedSeq("a", "b", "c", "d")
+    var seen = Seq.empty[(Int, Int)]
+    val conf = (s: Int, e: Int) => { seen :+= ((s, e)); 1.0 }
+    // entity flushed by a following O: range must be [0,2), not [0,3)
+    Bio.decodeBio(toks, IndexedSeq("B-Drug", "I-Drug", "O", "O"), conf)
+    assert(seen == Seq((0, 2)))
+    seen = Seq.empty
+    // mismatched I- inside an open entity: not part of the range
+    Bio.decodeBio(toks, IndexedSeq("B-Drug", "I-Image", "I-Drug", "O"), conf)
+    assert(seen == Seq((0, 3))) // token 1 kept in offsets but range ends at last matching I-
+    seen = Seq.empty
+    Bio.decodeBio(toks, IndexedSeq("B-Drug", "I-Image", "O", "O"), conf)
+    assert(seen == Seq((0, 1)))
+  }
+
+  test("gazetteer length cap applies identically to both detector kernels") {
+    val long = "肝" * 40 // a 40-char surface: beyond the 32-char gazetteer cap
+    val gaz = Detector.Gazetteer(Seq(long -> "Anatomical", "胃癌" -> "Diseases"))
+    assert(gaz.maxLen == 32)
+    val s = Sentence("d", 0, long + "胃癌")
+    val viaMap = Detector.detectOne(s, gaz, 128)
+    val viaTrie = new Detector.Kernel(gaz, 128).detect(s)
+    assert(viaMap == viaTrie, s"kernels diverge on long surfaces: $viaMap vs $viaTrie")
+    assert(viaMap.map(m => (m.entity_type, m.start, m.end)) == Seq(("Diseases", 40, 42)))
+  }
+}
