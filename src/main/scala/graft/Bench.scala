@@ -43,9 +43,22 @@ object Bench {
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm-up: JIT + codegen + parquet footer caches on a small query
-    try SparkEntry.queries("q_lineitem_pricing")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    // warm-up (untimed, standard bench protocol — BASELINE.md §Scaling):
+    // JIT + whole-stage-codegen compilation + parquet footer caches, on a
+    // small relational query AND a tiny end-to-end KG run (~300 docs) so
+    // the timed queries measure steady-state throughput, not first-call
+    // JVM compilation of the detector/CC/link code paths
+    try {
+      SparkEntry.queries("q_lineitem_pricing")(spark, sfDir).count()
+      val (t, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(
+        graft.data.DocsGen.docs(graft.data.DocsGen.gen(spark, 300, seed = 42L)),
+        graft.data.Lexicon.fromSurfaces {
+          import spark.implicits._
+          graft.data.DocsGen.vocabEntries.toDS()
+        })
+      t.count(); cleanup()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => }
 
     var triples = 0L
     var triplesSec = 0.0

@@ -76,17 +76,19 @@ object Canon {
       // explicit salt stage additionally bounds the per-key reduce even if
       // a single grouping key exceeds one task's input.)
       val candidates = propagated.union(labels.select(col("node"), col("component")))
-      // localCheckpoint (eager): materializes this iteration's labels AND
-      // truncates the lineage — without it the logical plan deepens
-      // linearly with iterations, blowing up analysis/recovery time on
-      // high-diameter graphs (r1 VERDICT "What's wrong" #2).
+      // localCheckpoint truncates the lineage — without it the logical
+      // plan deepens linearly with iterations, blowing up analysis and
+      // recovery on high-diameter graphs (r1 VERDICT "What's wrong" #2).
+      // LAZY (eager=false): the checkpoint materializes inside the very
+      // next action (the checksum), keeping the loop at ONE job per
+      // iteration instead of two.
       val newLabels = candidates
         .withColumn("salt", pmod(xxhash64(col("component")), lit(saltBuckets)))
         .groupBy(col("node"), col("salt"))
         .agg(min(col("component")).as("component"))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
 
       val sum = checksum(newLabels)
       labels.unpersist()

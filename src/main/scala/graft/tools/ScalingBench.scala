@@ -11,8 +11,13 @@ import org.apache.spark.sql.SparkSession
   * equally. Prints one JSON line with both throughputs and the scaling
   * efficiency (throughput@4N / throughput@N) / 4.
   *
-  * Usage: sbt "runMain graft.tools.ScalingBench <docs> <runsPerLevel> <N>"
-  * (defaults 1000000, 3, 8 → levels 8 and 32).
+  * Usage: sbt "runMain graft.tools.ScalingBench <docs> <runsPerLevel> <N> [mode]"
+  * (defaults 1000000, 3, 8 → levels 8 and 32; mode = "local" | "cluster").
+  *
+  * Mode "cluster" uses Spark's local-cluster master: REAL per-executor
+  * JVMs (4 cores each, own heap/GC) on this machine — the deployment shape
+  * the north_rule targets, and the control for the single-heap contention
+  * that caps `local[32]` scaling (BASELINE.md §Scaling).
   */
 object ScalingBench {
 
@@ -20,6 +25,7 @@ object ScalingBench {
     val nDocs = if (args.length > 0) args(0).toLong else 1000000L
     val runs = if (args.length > 1) args(1).toInt else 3
     val n = if (args.length > 2) args(2).toInt else 8
+    val mode = if (args.length > 3) args(3) else "local"
     val levels = Seq(n, n * 4)
     // tmpfs for staged input AND shuffle spill: the sandbox VM's disk is
     // shared/slow and would turn every shuffle I/O-bound; a real cluster
@@ -27,15 +33,30 @@ object ScalingBench {
     val shmBase = "/dev/shm/graft"
     val staged = s"$shmBase/scaling_docs_$nDocs"
 
+    val appJar = "target/scala-2.13/medicalnamedentityrecognitionspark_2.13-0.1.0.jar"
+    val execJavaOpts = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar").map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
     def newSession(cpus: Int): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
+      val coresPerExec = 4
+      val builder = SparkSession.builder()
         .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.local.dir", s"$shmBase/local")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      val s = (if (mode == "cluster")
+        builder
+          .master(s"local-cluster[${cpus / coresPerExec},$coresPerExec,6144]")
+          .config("spark.jars", new java.io.File(appJar).getAbsolutePath)
+          .config("spark.executor.memory", "5g")
+          .config("spark.executor.extraJavaOptions", execJavaOpts)
+      else
+        builder.master(s"local[$cpus]")).getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       s
     }
