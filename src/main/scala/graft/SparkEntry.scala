@@ -341,6 +341,27 @@ object SparkEntry {
         .withColumn("f1", round(col("f1"), 6))
         .orderBy("entity_type")
     }),
+    "sink_prediction_verbose" -> ((s, dir) => {
+      // S9 verbose variant: the reference's fixed-width per-token table
+      // (results/test_predictions_verbose.txt layout)
+      val (g, docs) = goldAndDocs(s, dir)
+      val pred = graft.metrics.ReferenceEval.tagsFromMentions(
+        KgPipeline.sentences(docs), KgPipeline.detectMentions(docs, DocsGen.vocabEntries))
+      graft.metrics.ReferenceEval.predictionDumpVerbose(DocsGen.goldSentences(g), pred)
+        .orderBy("id", "span_idx")
+    }),
+    "sink_eval_json" -> ((s, dir) => {
+      // S8: materialized eval-JSON (evaluation_results.json structure)
+      import s.implicits._
+      val (g, docs) = goldAndDocs(s, dir)
+      val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      val per = SpanMetrics.perType(pred, DocsGen.goldMentions(g))
+      val json = SpanMetrics.evalJson(
+        per.collect().toSeq, SpanMetrics.micro(per),
+        modelInfo = Seq("pretrained_model" -> "gazetteer-crf"),
+        evalInfo = Seq("num_samples" -> DocsGen.goldSentences(g).count()))
+      Seq(json).toDF("json")
+    }),
     "sink_prediction_dump" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
       val pred = graft.metrics.ReferenceEval.tagsFromMentions(
@@ -563,6 +584,24 @@ object SparkEntry {
          |FROM ${fx("gold_sentences")} s
          |LEFT JOIN ej ON s.doc_id = ej.doc_id AND s.span_idx = ej.span_idx
          |ORDER BY s.doc_id, s.span_idx""".stripMargin,
+    "sink_prediction_verbose" ->
+      s"""SELECT doc_id AS id, span_idx,
+         |  string_agg(rpad(CAST(pos AS VARCHAR), 6, ' ') || rpad(ch, 8, ' ') ||
+         |             rpad(tag, 15, ' ') || rpad(tag, 15, ' ') || '✓', chr(10) ORDER BY pos) AS verbose
+         |FROM ${fx("gold_tags")} GROUP BY doc_id, span_idx ORDER BY id, span_idx""".stripMargin,
+    "sink_eval_json" ->
+      s"""WITH c AS (
+         |  SELECT entity_type, count(*) AS n FROM (
+         |    SELECT DISTINCT doc_id, span_idx, "start", "end", entity_type FROM ${fx("gold_mentions")})
+         |  GROUP BY entity_type),
+         |ns AS (SELECT count(*) AS n FROM ${fx("gold_sentences")}),
+         |em AS (SELECT string_agg('"' || entity_type || '":{"precision":1.0,"recall":1.0,"f1":1.0,"support":' ||
+         |                         CAST(n AS VARCHAR) || '}', ',' ORDER BY entity_type) AS s FROM c)
+         |SELECT '{"model_info":{"pretrained_model":"gazetteer-crf"},"eval_info":{"num_samples":' ||
+         |       CAST(ns.n AS VARCHAR) ||
+         |       '},"metrics":{"overall":{"precision":1.0,"recall":1.0,"f1":1.0},"entity_metrics":{' ||
+         |       em.s || '}}}' AS json
+         |FROM em, ns""".stripMargin,
     "sink_prediction_dump" ->
       s"""SELECT doc_id AS id, span_idx,
          |  string_agg(ch, '' ORDER BY pos) AS words,

@@ -100,6 +100,41 @@ object ReferenceEval {
       .toDF("id", "span_idx", "words", "true_labels", "pred_labels")
   }
 
+  /** The reference's VERBOSE per-token dump
+    * (`results/test_predictions_verbose.txt`): fixed-width columns
+    * 位置(6) 字符(8) 真实标签(15) 预测标签(15) + ✓/✗, positions resetting
+    * per sentence, one continuous table. Layout replicated from the
+    * artifact byte-for-byte (no generating script ships in the reference);
+    * `ReferenceParitySpec` proves equality against the artifact itself.
+    */
+  def predictionDumpVerbose(
+      gold: Dataset[TaggedSentence],
+      pred: Dataset[TaggedSentence]): org.apache.spark.sql.DataFrame = {
+    val spark = gold.sparkSession
+    import spark.implicits._
+    gold
+      .joinWith(pred,
+        gold("doc_id") === pred("doc_id") && gold("span_idx") === pred("span_idx"), "inner")
+      .map { case (g, p) =>
+        val n = math.min(g.tags.length, p.tags.length)
+        val lines = (0 until n).map { i =>
+          val mark = if (g.tags(i) == p.tags(i)) "✓" else "✗"
+          // 字符 column shows the PRED side's (tokenizer's) chars — the
+          // artifact prints [UNK] where the model's tokenizer did
+          pad(i.toString, 6) + pad(p.chars(i), 8) + pad(g.tags(i), 15) + pad(p.tags(i), 15) + mark
+        }
+        (g.doc_id, g.span_idx, lines.mkString("\n"))
+      }
+      .toDF("id", "span_idx", "verbose")
+  }
+
+  private def pad(s: String, w: Int): String =
+    if (s.length >= w) s else s + (" " * (w - s.length))
+
+  /** The verbose table's fixed header (two lines, artifact layout). */
+  val VerboseHeader: String =
+    pad("位置", 6) + pad("字符", 8) + pad("真实标签", 15) + pad("预测标签", 15) + "是否正确\n" + ("-" * 60)
+
   /** Full comparison → per-type metrics + micro row, reproducing the
     * numbers seqeval would print for the same two files.
     */

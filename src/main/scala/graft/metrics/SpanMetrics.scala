@@ -84,6 +84,33 @@ object SpanMetrics {
     rows :+ mic.copy(entity_type = "micro avg") :+ macroRow :+ weightedRow
   }
 
+  /** S8: the materialized eval-JSON sink — the nested structure of the
+    * reference's `evaluation_results.json` (`evaluate.py:348-381`):
+    * model_info / eval_info / metrics.overall / metrics.entity_metrics
+    * keyed by entity type with {precision, recall, f1, support}.
+    * Deterministic field order (entity types sorted) so the string is
+    * oracle-comparable.
+    */
+  def evalJson(
+      per: Seq[TypeMetrics],
+      micro: TypeMetrics,
+      modelInfo: Seq[(String, String)] = Nil,
+      evalInfo: Seq[(String, Long)] = Nil): String = {
+    def d(x: Double): String = x.toString
+    val mi = modelInfo.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val ei = evalInfo.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val em = per.sortBy(_.entity_type).map { r =>
+      s""""${r.entity_type}":{"precision":${d(r.precision)},"recall":${d(r.recall)},"f1":${d(r.f1)},"support":${r.gold_count}}"""
+    }.mkString(",")
+    s"""{"model_info":{$mi},"eval_info":{$ei},"metrics":{"overall":{"precision":${d(micro.precision)},"recall":${d(micro.recall)},"f1":${d(micro.f1)}},"entity_metrics":{$em}}}"""
+  }
+
+  /** Write the eval JSON to a file (driver-side, like the reference's
+    * single-file writer).
+    */
+  def writeEvalJson(path: String, json: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+
   /** Token-level confusion matrix over entity types with BIO prefix
     * stripped and `O` included (`evaluate.py:472-493`): rows of
     * (gold_type, pred_type, count).

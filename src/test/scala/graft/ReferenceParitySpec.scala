@@ -56,6 +56,27 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(math.abs(micro.recall - 1575.0 / 1889.0) < 1e-12)
   }
 
+  test("verbose prediction dump reproduces test_predictions_verbose.txt byte-for-byte") {
+    assume(refAvailable)
+    val artifact = "/root/reference/results/test_predictions_verbose.txt"
+    assume(new java.io.File(artifact).isFile)
+    val gold = BioCorpus.readIndexed(spark, s"$refData/test.txt")
+    val pred = BioCorpus.readIndexed(spark, "/root/reference/results/test_predictions.txt")
+    val blocks = ReferenceEval.predictionDumpVerbose(gold, pred)
+      .orderBy("id", "span_idx")
+      .collect().map(_.getString(2))
+    // artifact layout: header + blank-line-separated per-sentence blocks
+    val ours = ReferenceEval.VerboseHeader + "\n" + blocks.mkString("\n\n")
+    val theirs = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(artifact)),
+      java.nio.charset.StandardCharsets.UTF_8).stripLineEnd
+    assert(ours.linesIterator.size == theirs.linesIterator.size,
+      s"line counts differ: ${ours.linesIterator.size} vs ${theirs.linesIterator.size}")
+    ours.linesIterator.zip(theirs.linesIterator).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"line $i differs:\n ours:   [$a]\n theirs: [$b]")
+    }
+  }
+
   test("seqevalEntities implements the conlleval start rules") {
     // I-X after O starts a chunk (unlike the reference's own decoder)
     assert(Bio.seqevalEntities(IndexedSeq("O", "I-Drug", "I-Drug")) == Seq(("Drug", 1, 3)))
