@@ -119,6 +119,27 @@ object Fixtures {
       .toDF("doc_id", "simhash"), "expected_simhash")
     write(docs.map { case (id, t) => (id, TextAnalysis.languageId(t)) }
       .toDF("doc_id", "lang_pred"), "expected_langid")
+
+    // simhash near-dup pairs replica: pigeonhole banding (4 bands × 16
+    // bits), bucket cap, exact hamming verify — over docs ∪ planted copies
+    val shCorpus = docs.map { case (id, t) => id -> Dedup.simhash(if (t == null) "" else t) } ++
+      docs.filter(_._1 < 25).map { case (id, t) => (id + 100000L) -> Dedup.simhash(if (t == null) "" else t) }
+    val shCand = mutable.Set.empty[(Long, Long)]
+    for (b <- 0 until 4) {
+      shCorpus.groupBy { case (_, h) => (h >>> (b * 16)) & 0xFFFFL }.values
+        .filter(g => g.size >= 2 && g.size <= 1000)
+        .foreach { g =>
+          for (i <- g.indices; j <- (i + 1) until g.size) {
+            val (x, y) = (g(i)._1, g(j)._1)
+            shCand += (if (x < y) (x, y) else (y, x))
+          }
+        }
+    }
+    val shMap = shCorpus.toMap
+    write(shCand.toSeq.sorted
+      .map { case (x, y) => (x, y, java.lang.Long.bitCount(shMap(x) ^ shMap(y))) }
+      .filter(_._3 <= 3)
+      .toDF("id_a", "id_b", "hamming"), "expected_simhash_pairs")
     write(docs.map { case (id, t) => (id, TextAnalysis.fingerprint(if (t == null) "" else t)) }
       .toDF("doc_id", "fingerprint"), "expected_fingerprint")
 
@@ -208,6 +229,22 @@ object Fixtures {
     write(annRows.toDF("query_id", "neighbor_id", "cos_raw", "rank")
       .withColumn("cosine", round(col("cos_raw"), 6))
       .select("query_id", "neighbor_id", "cosine", "rank"), "expected_ann_lsh")
+
+    // IVF top-k replica: deterministic centroid set + nprobe cells, naive
+    // candidate scan instead of the distributed cell equi-join
+    val cents = Similarity.ivfCentroids(embeddings, 16)
+    val cellOf = embeddings.map { case (id, v) => id -> Similarity.nearestCentroids(v, cents, 1)(0) }.toMap
+    val ivfRows = embeddings.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val probes = Similarity.nearestCentroids(qv, cents, 12).toSet
+      embeddings
+        .collect { case (nid, _) if nid != qid && probes(cellOf(nid)) => (qid, nid, cosine(qv, ndMap(nid))) }
+        .sortBy { case (_, nid, cos) => (-cos, nid) }
+        .take(5).zipWithIndex
+        .map { case ((q, nid, cos), idx) => (q, nid, cos, idx + 1) }
+    }
+    write(ivfRows.toDF("query_id", "neighbor_id", "cos_raw", "rank")
+      .withColumn("cosine", round(col("cos_raw"), 6))
+      .select("query_id", "neighbor_id", "cosine", "rank"), "expected_ann_ivf")
 
     Map("{OUT}" -> outDir, "{CONF}" -> kernelConfidence().toString)
   }

@@ -205,6 +205,14 @@ object SparkEntry {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
     }),
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      // near-identical docs planted as exact copies (hamming 0) so the
+      // pigeonhole banding join has non-trivial work to verify
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.simhashPairs(d.union(planted), "text", "doc_id").orderBy("id_a", "id_b")
+    }),
     "dedup_ngram_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), "text", "doc_id", threshold = 0.3)
         .orderBy("id_a", "id_b")
@@ -227,6 +235,11 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
     "docs_langid" -> ((s, dir) => {
@@ -638,6 +651,8 @@ object SparkEntry {
       s"""SELECT id_a, id_b, est_jaccard FROM ${fx("expected_minhash_pairs")} ORDER BY id_a, id_b""",
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ${fx("expected_simhash")} ORDER BY doc_id""",
+    "dedup_simhash_pairs" ->
+      s"""SELECT id_a, id_b, hamming FROM ${fx("expected_simhash_pairs")} ORDER BY id_a, id_b""",
     "docs_langid" ->
       s"""SELECT doc_id, lang_pred FROM ${fx("expected_langid")} ORDER BY doc_id""",
     "docs_fingerprint" ->
@@ -646,6 +661,9 @@ object SparkEntry {
       s"""SELECT id_a, id_b, cosine FROM ${fx("expected_neardup")} ORDER BY id_a, id_b""",
     "ann_lsh_topk" ->
       s"""SELECT query_id, neighbor_id, cosine, rank FROM ${fx("expected_ann_lsh")}
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""SELECT query_id, neighbor_id, cosine, rank FROM ${fx("expected_ann_ivf")}
          |ORDER BY query_id, rank""".stripMargin,
     "multimodal_decode" ->
       s"""SELECT doc_id, span_idx, kind, media_ref, width, height, sample_rate, format, f0

@@ -67,14 +67,22 @@ object Triples {
       }
   }
 
-  /** Rewrite subj/obj through the canonical component mapping (two
-    * broadcast-able joins when the mapping is small; shuffle joins
-    * otherwise — Catalyst + AQE decide).
+  /** Rewrite subj/obj through the canonical component mapping.
+    *
+    * The mapping side is explicitly `broadcast()` when it is small: the CC
+    * output is a checkpointed RDD with NO size statistics, so Catalyst
+    * estimates it at defaultSizeInBytes and would SORT-MERGE join the full
+    * triple table against a 70-row mapping — twice (subj and obj). The
+    * count is cheap (components is already materialized by the CC loop).
     */
-  def canonicalize(triples: Dataset[Triple], components: DataFrame): Dataset[Triple] = {
+  def canonicalize(
+      triples: Dataset[Triple],
+      components: DataFrame,
+      broadcastThreshold: Long = 10000000L): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val comp = components.select(col("node"), col("component"))
+    val comp0 = components.select(col("node"), col("component"))
+    val comp = if (comp0.count() <= broadcastThreshold) broadcast(comp0) else comp0
     triples
       .join(comp.withColumnRenamed("node", "subj").withColumnRenamed("component", "subj_c"), Seq("subj"), "left")
       .join(comp.withColumnRenamed("node", "obj").withColumnRenamed("component", "obj_c"), Seq("obj"), "left")

@@ -46,6 +46,16 @@ object Canon {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Size the loop's shuffles to the graph, not the session default: on a
+    // vocabulary-bounded graph (this pipeline's case — thousands of nodes)
+    // a 64-partition shuffle per iteration is pure task-scheduling
+    // overhead, and it runs EVERY iteration. ~1 partition per 100k edges,
+    // restored after the loop. (The count also materializes the persist.)
+    val edgeCount = bidirected.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
     var labels = bidirected
       .select(col("src").as("node"))
       .distinct()
@@ -65,7 +75,7 @@ object Canon {
     var prevSum = checksum(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    try while (iter < maxIter && !converged) {
       // propagate: each edge ships the src's component to the dst
       val propagated = bidirected
         .join(labels, bidirected("src") === labels("node"))
@@ -96,7 +106,7 @@ object Canon {
       converged = sum == prevSum
       prevSum = sum
       iter += 1
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     bidirected.unpersist()
     labels
   }

@@ -142,13 +142,16 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Blocking: split the 64-bit hash into (maxHamming+1) bands — any pair
     * within the distance bound must agree exactly on ≥1 band (pigeonhole),
-    * so candidates come from an equi-join on (band, band_value).
+    * so candidates come from an equi-join on (band, band_value). Hot
+    * buckets (identical boilerplate at scale) are capped at `maxBucket`
+    * members before pairing, like every other banding op here.
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     val sh = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
@@ -158,8 +161,10 @@ object Dedup {
     val banded = sh.select(
       col("id"), col("sh"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bval")))
-    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val bucketSizes = banded.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
+    val pruned = banded.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bval"))
+    val a = pruned.select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = pruned.select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -178,4 +178,83 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic IVF coarse quantizer: the centroid set is the
+    * `nCentroids` corpus vectors with the smallest `xxhash`-style mixed id
+    * — order- and partition-independent (no iterative k-means refinement,
+    * whose float-summation order would make centroids run-dependent; a
+    * refined codebook can be dropped in via the `centroids` overload).
+    */
+  def ivfCentroids(corpus: Seq[(Long, Array[Float])], nCentroids: Int): Array[(Long, Array[Float])] =
+    corpus.sortBy { case (id, _) => (Hashing.mix64(id), id) }.take(nCentroids).toArray
+
+  /** Nearest-centroid ids for a vector, by cosine, ties to lower index —
+    * shared with the fixture oracle. Returns the `nprobe` best centroid
+    * indices for queries (nprobe=1 for corpus assignment).
+    */
+  def nearestCentroids(v: Seq[Float], centroids: Array[(Long, Array[Float])], nprobe: Int): Array[Int] = {
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    centroids.indices
+      .map(i => (i, cos(v, centroids(i)._2)))
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nprobe).map(_._1).toArray
+  }
+
+  /** IVF ANN top-k: corpus rows are assigned to their nearest centroid
+    * (the inverted file); each query probes its `nprobe` nearest cells and
+    * ranks candidates by exact cosine via the bounded top-k aggregator.
+    * One equi-join on the cell id — never an all-pairs product; the
+    * centroid table broadcasts (it is tiny by construction).
+    *
+    * `nprobe` trades recall vs candidates scanned: clustered real-world
+    * embeddings reach high recall at nprobe ≈ 1-4 of dozens of cells;
+    * UNIFORM random vectors (no cluster structure to exploit) need
+    * nprobe ≈ 3/4 of the cells for recall ≥ 0.8 — that bound is data-,
+    * not implementation-, driven.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusVecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    // centroid selection is a tiny deterministic sample: collect only the
+    // nCentroids mix64-smallest ids (a bounded top-k sort, not the corpus)
+    val mixUdf = udf((id: Long) => Hashing.mix64(id))
+    val cents = ivfCentroids(
+      corpusVecs.toDF("id", "v")
+        .orderBy(mixUdf(col("id")), col("id"))
+        .limit(nCentroids)
+        .as[(Long, Array[Float])].collect().toSeq, nCentroids)
+    val centsBc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, 1)(0))
+    val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, nprobe))
+
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(probeUdf(col("qv"))).as("cell"))
+    val scored = c
+      .join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotCol(col("cv"), col("qv")) /
+          greatest(normCol(col("cv")) * normCol(col("qv")), lit(1e-12)))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
+  }
 }

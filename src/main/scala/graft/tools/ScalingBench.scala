@@ -101,22 +101,74 @@ object ScalingBench {
       spark.sparkContext.addSparkListener(listener)
       val st0 = stealSec()
       val t0 = System.nanoTime()
-      val nTriples = KgPipeline.run(docs, lex, numPartitions = cpus * 2).count()
+      val (triplesDs, cleanup) = KgPipeline.runWithCleanup(docs, lex, numPartitions = cpus * 2)
+      val nTriples = triplesDs.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val steal = stealSec() - st0
+      cleanup()
       spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
       RunResult(nTriples, wall, steal, cpu.get() / 1e9, gc.get() / 1e3)
     }
 
-    // alternate levels per round: [warmup@a, warmup@b], then runs rounds
+    /** Raw-compute control: a register-only burn at `threads` parallelism,
+      * in tasks/s. The app's N→4N ratio can only be judged against the
+      * HOST's same-day N→4N ratio — this sandbox is a shared VM whose raw
+      * 8→32 scaling itself fluctuates between ~2.6x and ~3.6x with
+      * neighbor load. normalized_efficiency = app_ratio / raw_ratio.
+      */
+    def rawBurn(threads: Int): Double = {
+      val tasks = threads * 2
+      val work = 30000000
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      try {
+        val futs = (0 until tasks).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = { var x = 0L; var i = 0; while (i < work) { x += i.toLong * i; i += 1 }; x }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      tasks / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    /** Cluster mode spawns real executor JVMs asynchronously; wait until
+      * they have all registered so the timed runs measure steady state,
+      * not executor spin-up.
+      */
+    def waitForExecutors(spark: SparkSession, cpus: Int): Unit = {
+      if (mode == "cluster") {
+        val expected = cpus / 4
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (spark.sparkContext.getExecutorMemoryStatus.size - 1 < expected
+          && System.nanoTime() < deadline) Thread.sleep(500)
+      }
+    }
+
+    // 2 blocks × each level: [warm session, 1 untimed warm-up run (JIT +
+    // codegen, fresh executor JVMs every session in cluster mode), then
+    // runs/2 timed runs]. Blocks alternate levels so shared-host noise
+    // bursts hit both levels; timed runs share a WARM session so they
+    // measure steady-state throughput.
     val results = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[RunResult]): _*)
+    val burns = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[Double]): _*)
     var triples = 0L
-    for (round <- 0 to runs) { // round 0 = warmup
+    val blocks = 2
+    val perBlock = math.max(1, (runs + blocks - 1) / blocks)
+    rawBurn(levels.max) // JIT the burn loop itself
+    for (_ <- 0 until blocks) {
       for (cpus <- levels) {
+        burns(cpus) = burns(cpus) :+ rawBurn(cpus)
         val spark = newSession(cpus)
-        val r = once(spark, cpus)
-        triples = r.triples
-        if (round > 0) results(cpus) = results(cpus) :+ r
+        waitForExecutors(spark, cpus)
+        once(spark, cpus) // warm-up, untimed
+        for (_ <- 0 until perBlock) {
+          val r = once(spark, cpus)
+          triples = r.triples
+          results(cpus) = results(cpus) :+ r
+        }
+        burns(cpus) = burns(cpus) :+ rawBurn(cpus)
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
@@ -136,7 +188,10 @@ object ScalingBench {
     val (m4N, best4N, cpu4N) = byLevel(levels(1))
     val effMedian = (mN / m4N) / 4.0
     val effBestAdj = (bestN / best4N) / 4.0
+    val burnN = median(burns(levels(0)))
+    val burn4N = median(burns(levels(1)))
+    val rawEff = (burn4N / burnN) / 4.0
     println(
-      f"""{"bench":"scaling","docs":$nDocs,"triples":$triples,"n_cores":${levels(0)},"cores_4n":${levels(1)},"wall_n":${fmt(results(levels(0)).map(_.wallSec))},"wall_4n":${fmt(results(levels(1)).map(_.wallSec))},"steal_n":${fmt(results(levels(0)).map(_.stealSec))},"steal_4n":${fmt(results(levels(1)).map(_.stealSec))},"cpu_n":${fmt(results(levels(0)).map(_.cpuSec))},"cpu_4n":${fmt(results(levels(1)).map(_.cpuSec))},"gc_n":${fmt(results(levels(0)).map(_.gcSec))},"gc_4n":${fmt(results(levels(1)).map(_.gcSec))},"median_n_sec":$mN%.2f,"median_4n_sec":$m4N%.2f,"best_adj_n_sec":$bestN%.2f,"best_adj_4n_sec":$best4N%.2f,"triples_per_sec_n":${triples / mN}%.1f,"triples_per_sec_4n":${triples / m4N}%.1f,"scaling_efficiency_median":$effMedian%.3f,"scaling_efficiency_best_adj":$effBestAdj%.3f}""")
+      f"""{"bench":"scaling","mode":"$mode","docs":$nDocs,"triples":$triples,"n_cores":${levels(0)},"cores_4n":${levels(1)},"wall_n":${fmt(results(levels(0)).map(_.wallSec))},"wall_4n":${fmt(results(levels(1)).map(_.wallSec))},"steal_n":${fmt(results(levels(0)).map(_.stealSec))},"steal_4n":${fmt(results(levels(1)).map(_.stealSec))},"cpu_n":${fmt(results(levels(0)).map(_.cpuSec))},"cpu_4n":${fmt(results(levels(1)).map(_.cpuSec))},"gc_n":${fmt(results(levels(0)).map(_.gcSec))},"gc_4n":${fmt(results(levels(1)).map(_.gcSec))},"median_n_sec":$mN%.2f,"median_4n_sec":$m4N%.2f,"best_adj_n_sec":$bestN%.2f,"best_adj_4n_sec":$best4N%.2f,"triples_per_sec_n":${triples / mN}%.1f,"triples_per_sec_4n":${triples / m4N}%.1f,"raw_burn_n_tasks_per_sec":$burnN%.2f,"raw_burn_4n_tasks_per_sec":$burn4N%.2f,"raw_host_efficiency":$rawEff%.3f,"scaling_efficiency_median":$effMedian%.3f,"scaling_efficiency_best_adj":$effBestAdj%.3f,"normalized_efficiency_median":${effMedian / rawEff}%.3f}""")
   }
 }

@@ -30,6 +30,17 @@ class Round2Spec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall@5 = $recall (${(brute & lsh).size}/${brute.size})")
   }
 
+  test("ivfTopK recall@5 >= 0.8 vs bruteForceTopK on the sf embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
+  }
+
   test("embeddingNearDupPairs recovers >= 0.9 of planted near-duplicates") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val perturb = udf((id: Long, v: Seq[Float]) => v.zipWithIndex.map { case (x, i) =>
@@ -42,6 +53,17 @@ class Round2Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recovered = (0L until 50L).count(id => pairs.contains((id, id + 100000)))
     assert(recovered >= 45, s"recovered only $recovered/50 planted near-dups")
+  }
+
+  test("simhashPairs finds planted exact copies via pigeonhole banding") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val planted = d.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(d.union(planted), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val plantedFound = (0L until 25L).count(id => pairs.exists(p => p._1 == id && p._2 == id + 100000))
+    assert(plantedFound == 25, s"found $plantedFound/25 planted copies")
+    assert(pairs.filter(p => p._2 - p._1 == 100000 && p._1 < 25).forall(_._3 == 0))
   }
 
   test("connected components converge on a chain graph with diameter > 10") {
