@@ -190,6 +190,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"), max("n_chars").as("max_chars"))
         .orderBy("source")
     }),
+    "q_docs_argmax" -> ((s, dir) => {
+      // A9 analog (best-model argmax, train_enhanced.py:432-445): highest-
+      // quality doc per source via max_by — single shuffle with partial
+      // agg, no window. Ties (rounded score) break to the smallest doc_id.
+      val d = TextAnalysis.qualityFeatures(s.read.parquet(t(dir, "documents")), col("text"))
+      d.groupBy(col("source"))
+        .agg(
+          max_by(col("doc_id"), struct(col("quality_score"), (lit(0L) - col("doc_id")).as("neg_id"))).as("best_doc_id"),
+          max(col("quality_score")).as("best_quality"))
+        .orderBy("source")
+    }),
     "q_ann_brute_topk" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -454,6 +465,19 @@ object SparkEntry {
     "q_docs_stats" ->
       """SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_docs_argmax" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    round(least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.5
+        |      + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+        |            / greatest(length(text), 1), 6) * 10, 1.0)) * 0.25
+        |      + least(round(len(list_filter(string_split(trim(text), ' '),
+        |            t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+        |            / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 6) AS qs
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, qs,
+        |        row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC) AS rn FROM q)
+        |SELECT source, doc_id AS best_doc_id, qs AS best_quality FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "q_events_window_agg" ->
       """SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 6) AS total_value
