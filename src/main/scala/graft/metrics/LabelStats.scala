@@ -2,7 +2,6 @@ package graft.metrics
 
 import graft.core.{Mention, TaggedSentence}
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus statistics operators (SURVEY.md §2.6 A1-A3, A11):
@@ -19,10 +18,15 @@ object LabelStats {
     val spark = corpus.sparkSession
     import spark.implicits._
     val tags = corpus.flatMap(_.tags).toDF("tag").filter($"tag" =!= "O")
-    tags
-      .groupBy($"tag")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("share", round($"n" / sum($"n").over(Window.partitionBy()), 6))
+    val counts = tags.groupBy($"tag").agg(count(lit(1)).as("n"))
+    // share-of-total via a broadcast 1-row cross join on the (vocabulary-
+    // bounded, ≤12-row) counts — a global `sum().over(Window.partitionBy())`
+    // would funnel them through a single-partition WindowExec
+    val total = counts.agg(sum($"n").as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share", round($"n" / $"__total", 6))
+      .drop("__total")
       .orderBy($"n".desc, $"tag")
   }
 
