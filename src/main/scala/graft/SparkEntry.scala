@@ -105,6 +105,28 @@ object SparkEntry {
         .groupBy("entity_type").agg(count(lit(1)).as("n"))
         .orderBy("entity_type")
     }),
+    "kg_crf_transitions" -> ((s, dir) => {
+      // K3 full: corpus-estimated CRF transition training. The DISTRIBUTED
+      // part under test is the tag-bigram counting job; the emitted rows
+      // (legal transitions with add-1-smoothed log-probs) are a bounded
+      // parameter table, not a data path.
+      import s.implicits._
+      val (g, _) = goldAndDocs(s, dir)
+      val counts = Detector.transitionCounts(DocsGen.goldSentences(g))
+      val L = Detector.NumLabels
+      def lab(i: Int) = if (i == L) "<s>" else graft.core.Bio.Labels(i)
+      val rows = (0 to L).flatMap { i =>
+        val legal = (0 until L).filter(j => Detector.transitions(i)(j) > -1e8f)
+        val total = legal.map(j => counts.getOrElse((i, j), 0L)).sum.toDouble + legal.size
+        legal.map { j =>
+          val n = counts.getOrElse((i, j), 0L)
+          (lab(i), graft.core.Bio.Labels(j), n, math.log((n + 1.0) / total))
+        }
+      }
+      rows.toDF("from_label", "to_label", "n", "logp")
+        .withColumn("logp", round(col("logp"), 6))
+        .orderBy("from_label", "to_label")
+    }),
 
     // ---------------------------------------------------------------- relational core (oracle-checked)
     "q_lineitem_pricing" -> ((s, dir) => {
@@ -547,6 +569,35 @@ object SparkEntry {
     "kg_bio_roundtrip" ->
       s"""SELECT entity_type, count(*) AS n FROM ${fx("gold_mentions")}
          |GROUP BY entity_type ORDER BY entity_type""".stripMargin,
+    // K3 oracle: re-derive the tag-bigram counts + add-1-smoothed log-probs
+    // from staged gold tags; legality (BIO grammar) re-expressed in SQL
+    "kg_crf_transitions" ->
+      s"""WITH labels AS (SELECT * FROM (VALUES
+         |    ('B-Anatomical'),('B-Diseases'),('B-Drug'),('B-Image'),('B-Laboratory'),('B-Operation'),
+         |    ('I-Anatomical'),('I-Diseases'),('I-Drug'),('I-Image'),('I-Laboratory'),('I-Operation'),
+         |    ('O')) t(lab)),
+         |froms AS (SELECT lab AS f FROM labels UNION ALL SELECT '<s>'),
+         |pairs AS (
+         |  SELECT f.f AS from_label, l.lab AS to_label
+         |  FROM froms f CROSS JOIN labels l
+         |  WHERE NOT (l.lab LIKE 'I-%'
+         |             AND f.f <> 'B-' || substring(l.lab, 3)
+         |             AND f.f <> 'I-' || substring(l.lab, 3))),
+         |big AS (
+         |  SELECT coalesce(lag(tag) OVER (PARTITION BY doc_id, span_idx ORDER BY pos), '<s>') AS from_label,
+         |         tag AS to_label
+         |  FROM ${fx("gold_tags")}),
+         |cnt AS (SELECT from_label, to_label, count(*) AS n FROM big GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT p.from_label, sum(coalesce(c.n, 0)) + count(*) AS total
+         |  FROM pairs p LEFT JOIN cnt c USING (from_label, to_label)
+         |  GROUP BY 1)
+         |SELECT p.from_label, p.to_label, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+         |  round(ln((coalesce(c.n, 0) + 1.0) / t.total), 6) AS logp
+         |FROM pairs p
+         |LEFT JOIN cnt c USING (from_label, to_label)
+         |JOIN tot t ON p.from_label = t.from_label
+         |ORDER BY from_label, to_label""".stripMargin,
 
     "lexicon_prune" ->
       s"""WITH $lexCte,

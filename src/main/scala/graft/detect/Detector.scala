@@ -37,7 +37,8 @@ object Detector {
     * transitions, `bert_crf_model.py:93-116`): 0 for legal transitions,
     * -1e9 for structurally invalid ones (O→I-X, B-X→I-Y, I-X→I-Y,
     * start→I-X). Static because the label grammar, not the data, defines
-    * legality; emission scores carry all data signal.
+    * legality; emission scores carry all data signal. For the
+    * data-dependent variant see [[estimateTransitions]].
     */
   val transitions: Array[Array[Float]] = {
     val t = Array.fill(NumLabels + 1, NumLabels)(0f) // row NumLabels = start
@@ -55,6 +56,68 @@ object Detector {
       }
     }
     t
+  }
+
+  /** K3 full: CORPUS-ESTIMATED CRF transitions — the supervised-training
+    * analog of the reference's CRF layer (`bert_crf_model.py:93-111`;
+    * gradient training of the encoder stays out of scope, SURVEY §2.3).
+    *
+    * Tag-bigram counts are computed DISTRIBUTED (flatMap → groupBy →
+    * count; the aggregate is bounded by (L+1)×L = 182 rows, so the
+    * collect is constant-size regardless of corpus scale) and converted
+    * to add-k-smoothed log-probabilities per source row. Structurally
+    * ILLEGAL transitions keep -1e9 regardless of the data — the BIO
+    * grammar outranks observed counts exactly as torchcrf's masked decode
+    * does; a malformed gold corpus therefore cannot teach the decoder to
+    * emit ungrammatical paths.
+    *
+    * Drop-in: pass the result as the `trans` parameter of [[detect]] /
+    * [[viterbi]] / [[Kernel]]. Row `NumLabels` is the start distribution.
+    */
+  /** Distributed tag-bigram counts in label-id space (row `NumLabels` =
+    * sentence start). The aggregate is bounded by (L+1)×L = 182 keys, so
+    * the collect is constant-size regardless of corpus scale.
+    */
+  def transitionCounts(
+      corpus: Dataset[graft.core.TaggedSentence]): Map[(Int, Int), Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .flatMap { ts =>
+        val ids = ts.tags.map(t => Bio.LabelToId.getOrElse(t, oId))
+        val start = if (ids.nonEmpty) Seq((NumLabels, ids.head)) else Nil
+        start ++ ids.sliding(2).collect { case Seq(a, b) => (a, b) }
+      }
+      .toDF("from", "to")
+      .groupBy("from", "to")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(Int, Int, Long)]
+      .collect()
+      .map { case (f, t, n) => (f, t) -> n }
+      .toMap
+  }
+
+  def estimateTransitions(
+      corpus: Dataset[graft.core.TaggedSentence],
+      smoothing: Double = 1.0): Array[Array[Float]] = {
+    val counts = transitionCounts(corpus)
+    val out = Array.fill(NumLabels + 1, NumLabels)(0f)
+    var i = 0
+    while (i <= NumLabels) {
+      val legal = (0 until NumLabels).filter(j => transitions(i)(j) > -1e8f)
+      val total =
+        legal.map(j => counts.getOrElse((i, j), 0L)).sum.toDouble + smoothing * legal.size
+      var j = 0
+      while (j < NumLabels) {
+        out(i)(j) =
+          if (transitions(i)(j) <= -1e8f) -1e9f
+          else math.log((counts.getOrElse((i, j), 0L) + smoothing) / total).toFloat
+        j += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** Gazetteer: longest-match dictionary features. `surfaces` maps a
@@ -137,7 +200,10 @@ object Detector {
     * reference's batch loop, minus the per-sentence array churn that
     * caps single-JVM scaling at high core counts (allocation-rate bound).
     */
-  final class Kernel(gaz: Gazetteer, maxLen: Int) {
+  final class Kernel(
+      gaz: Gazetteer,
+      maxLen: Int,
+      trans: Array[Array[Float]] = transitions) {
     private val trie = GazTrie(gaz)
     private val L = NumLabels
     private val em = Array.ofDim[Float](maxLen, L)
@@ -175,7 +241,7 @@ object Detector {
 
       // Viterbi (K4) into reusable dp/bp
       var j = 0
-      while (j < L) { dp(0)(j) = transitions(L)(j) + em(0)(j); j += 1 }
+      while (j < L) { dp(0)(j) = trans(L)(j) + em(0)(j); j += 1 }
       i = 1
       while (i < n) {
         j = 0
@@ -184,7 +250,7 @@ object Detector {
           var arg = 0
           var k = 0
           while (k < L) {
-            val sc = dp(i - 1)(k) + transitions(k)(j)
+            val sc = dp(i - 1)(k) + trans(k)(j)
             if (sc > best) { best = sc; arg = k }
             k += 1
           }
@@ -301,14 +367,16 @@ object Detector {
   /** Viterbi decode (K4) — hand-written `crf.decode` analog. O(len·L²)
     * with L=13; returns best label-id path.
     */
-  def viterbi(em: Array[Array[Float]]): Array[Int] = {
+  def viterbi(
+      em: Array[Array[Float]],
+      trans: Array[Array[Float]] = transitions): Array[Int] = {
     val n = em.length
     if (n == 0) return Array.empty
     val L = NumLabels
     val dp = Array.ofDim[Float](n, L)
     val bp = Array.ofDim[Int](n, L)
     var j = 0
-    while (j < L) { dp(0)(j) = transitions(L)(j) + em(0)(j); j += 1 }
+    while (j < L) { dp(0)(j) = trans(L)(j) + em(0)(j); j += 1 }
     var i = 1
     while (i < n) {
       j = 0
@@ -317,7 +385,7 @@ object Detector {
         var arg = 0
         var k = 0
         while (k < L) {
-          val s = dp(i - 1)(k) + transitions(k)(j)
+          val s = dp(i - 1)(k) + trans(k)(j)
           if (s > best) { best = s; arg = k }
           k += 1
         }
@@ -399,11 +467,12 @@ object Detector {
       sentences: Dataset[Sentence],
       gazBc: Broadcast[Gazetteer],
       batchSize: Int = 32,
-      maxLen: Int = 128): Dataset[Mention] = {
+      maxLen: Int = 128,
+      trans: Array[Array[Float]] = transitions): Dataset[Mention] = {
     val spark = sentences.sparkSession
     import spark.implicits._
     sentences.mapPartitions { it =>
-      val kernel = new Kernel(gazBc.value, maxLen)
+      val kernel = new Kernel(gazBc.value, maxLen, trans)
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap(kernel.detect)
       }

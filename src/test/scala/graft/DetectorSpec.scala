@@ -61,6 +61,54 @@ class DetectorSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("estimateTransitions: grammar outranks data, rows are smoothed log-prob distributions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val g = DocsGen.gen(spark, 300, seed = 19).cache()
+    val trans = Detector.estimateTransitions(DocsGen.goldSentences(g))
+    val L = Detector.NumLabels
+    for (i <- 0 to L; j <- 0 until L) {
+      if (Detector.transitions(i)(j) <= -1e8f)
+        assert(trans(i)(j) <= -1e8f, s"illegal transition ($i,$j) got a finite score")
+      else {
+        assert(trans(i)(j) < 0f, s"legal transition ($i,$j) should be a log-prob < 0")
+        assert(trans(i)(j) > -30f, s"legal transition ($i,$j) underflowed smoothing")
+      }
+    }
+    // each source row is a probability distribution over its LEGAL targets
+    for (i <- 0 to L) {
+      val mass = (0 until L)
+        .filter(j => Detector.transitions(i)(j) > -1e8f)
+        .map(j => math.exp(trans(i)(j).toDouble))
+        .sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"row $i mass $mass")
+    }
+    // observed B-X -> I-X bigrams score above the unobserved-but-legal floor:
+    // every multi-char gold entity contributes B->I counts
+    val bDis = Bio.LabelToId("B-Diseases")
+    val iDis = Bio.LabelToId("I-Diseases")
+    val floor = trans(bDis).zipWithIndex
+      .filter { case (v, j) => v > -1e8f && j != iDis }.map(_._1).min
+    assert(trans(bDis)(iDis) > floor)
+    g.unpersist()
+  }
+
+  test("detector with corpus-estimated transitions still matches gold exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val g = DocsGen.gen(spark, 200, seed = 23).cache()
+    val trans = Detector.estimateTransitions(DocsGen.goldSentences(g))
+    val docs = DocsGen.docs(g)
+    val gold = DocsGen.goldMentions(g).collect()
+      .map(m => (m.doc_id, m.span_idx, m.entity_type, m.text, m.start, m.end)).toSet
+    val gazBc = Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)
+    val sents = graft.pipeline.KgPipeline.sentences(docs)
+    val got = Detector.detect(sents, gazBc, trans = trans).collect()
+      .map(m => (m.doc_id, m.span_idx, m.entity_type, m.text, m.start, m.end)).toSet
+    assert(got == gold)
+    g.unpersist()
+  }
+
   test("truncation bounds detector cost at max_len=128 like the reference") {
     val long = Sentence("d", 0, "在" * 300 + "胃癌")
     val gaz = Detector.Gazetteer(Seq("胃癌" -> "Diseases"))
