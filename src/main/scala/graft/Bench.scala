@@ -63,21 +63,33 @@ object Bench {
     var triples = 0L
     var triplesSec = 0.0
     val errors = Seq.newBuilder[(String, String)]
+    // median of 3 runs per query: the sandbox host is shared and neighbor
+    // load swings single-run walls 2-4x — a median keeps BENCH_r{N}
+    // comparable across rounds. Each run measured cold (cache cleared).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val n =
-          try fn(spark, sfDir).count()
-          catch {
-            case e: Throwable => // fail LOUDLY: a broken query must not report a fast wall time
-              errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-              -1L
+        var n = -1L
+        var failed = false
+        val times = (0 until runs).flatMap { _ =>
+          if (failed) None
+          else {
+            val t0 = System.nanoTime()
+            try n = fn(spark, sfDir).count()
+            catch {
+              case e: Throwable => // fail LOUDLY: a broken query must not report a fast wall time
+                errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+                failed = true
+                n = -1L
+            }
+            // each run measured cold: release caches the query persisted
+            // internally (e.g. the pipeline's mention cache) before the next
+            spark.catalog.clearCache()
+            if (failed) None else Some((System.nanoTime() - t0) / 1e9)
           }
-        val sec = (System.nanoTime() - t0) / 1e9
+        }
+        val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
         if (name == "kg_triples" && n > 0) { triples = n; triplesSec = n / sec }
-        // each query measured cold: release caches the query persisted
-        // internally (e.g. the pipeline's mention cache) before the next
-        spark.catalog.clearCache()
         name -> sec
       }
     }
@@ -85,7 +97,7 @@ object Bench {
     val errs = errors.result().map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cores":$cpus,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cores":$cpus,"runs_per_query":$runs,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
     // stdout (raw — build.sbt routes forked output unprefixed) AND a file,
     // so the driver can parse either
     println(line)

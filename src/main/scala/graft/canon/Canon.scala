@@ -17,6 +17,11 @@ import org.apache.spark.storage.StorageLevel
   * Components in MapReduce and Beyond" (SoCC'14) — same join/agg shape,
   * fewer iterations.
   *
+  * ADAPTIVE execution: graphs whose bidirected edge set is bounded
+  * (`driverMaxEdges`, default 1M — this pipeline's canonicalization graph
+  * is vocabulary-bounded at any corpus scale) resolve with a driver
+  * union-find in a single job; larger graphs run the iterative loop below.
+  *
   * Scale features baked in:
   *  - SALTED two-phase aggregation: hub entities (a disease appearing in
   *    millions of docs) concentrate min() inputs on one key; we pre-combine
@@ -31,13 +36,23 @@ import org.apache.spark.storage.StorageLevel
 object Canon {
 
   /** @param edges two string columns `src`, `dst` (undirected pairs)
+    * @param driverMaxEdges adaptive cutover: a graph whose deduped
+    *        bidirected edge set is at most this size resolves with a
+    *        driver-side union-find in ONE extra job (a bounded collect —
+    *        same class as collecting a groupBy count), returning a
+    *        LocalRelation that downstream broadcast joins consume without
+    *        any shuffle. This pipeline's canonicalization graph is
+    *        vocabulary-bounded (distinct surfaces ↔ concepts), so at ANY
+    *        corpus scale it takes this path; the salted iterative loop
+    *        below is the general-graph path (forced with 0).
     * @return DataFrame(node: string, component: string) — component is the
     *         lexicographically smallest node id in the component.
     */
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int = 20,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
 
     val e0 = edges.select(col("src"), col("dst"))
@@ -52,6 +67,32 @@ object Canon {
     // overhead, and it runs EVERY iteration. ~1 partition per 100k edges,
     // restored after the loop. (The count also materializes the persist.)
     val edgeCount = bidirected.count()
+
+    if (edgeCount <= driverMaxEdges) {
+      // bounded graph: min-root union-find with path compression. Union
+      // always attaches the larger root under the smaller, so every set's
+      // root is its lexicographic minimum — identical semantics to the
+      // min-propagation fixpoint, without per-iteration job overhead.
+      val rows = bidirected.collect()
+      bidirected.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      rows.foreach { r =>
+        val ra = find(r.getString(0))
+        val rb = find(r.getString(1))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // bidirected contains both directions, so column 0 covers every node
+      val nodes = rows.iterator.map(_.getString(0)).toArray.distinct
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+    }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)

@@ -71,9 +71,27 @@ class Round2Spec extends AnyFunSuite {
     // 16-node chain: min label must propagate 15 hops; also checks the
     // localCheckpoint path keeps the loop healthy past a few iterations
     val chain = (0 until 15).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
-    val cc = Canon.connectedComponents(chain, maxIter = 20).collect()
+    // driverMaxEdges = 0 forces the ITERATIVE path — this test guards the
+    // localCheckpoint loop, which the driver fast path would bypass
+    val cc = Canon.connectedComponents(chain, maxIter = 20, driverMaxEdges = 0L).collect()
     assert(cc.length == 16)
     assert(cc.forall(_.getString(1) == "n00"), s"labels: ${cc.mkString(",")}")
+  }
+
+  test("CC driver fast path and iterative loop agree on a random graph") {
+    import spark.implicits._
+    // seeded random graph: ~120 nodes, 150 edges, mixed component sizes
+    val edges = (0 until 150).map { i =>
+      val h = graft.core.Hashing.hash2(77, i)
+      val a = graft.core.Hashing.pick(graft.core.Hashing.mix64(h + 1), 120)
+      val b = graft.core.Hashing.pick(graft.core.Hashing.mix64(h + 2), 120)
+      (f"v$a%03d", f"v$b%03d")
+    }.toDF("src", "dst")
+    val fast = Canon.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val loop = Canon.connectedComponents(edges, driverMaxEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast == loop)
   }
 
   test("empty-surface mentions survive linking with the S: fallback concept") {
