@@ -5,7 +5,7 @@ import graft.detect.Detector
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Incremental processing (SURVEY.md §2.9). The reference is batch-only;
   * the north_rule asks for resumability, which `checkpoint.Resumable`
@@ -56,6 +56,36 @@ object Streaming {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One document's identity for streaming dedup. */
+  case class DocText(doc_id: String, text: String)
+
+  /** STATEFUL streaming exact-dedup: keep the FIRST document per text
+    * hash across micro-batches — the streaming variant of
+    * `Dedup.dropExactDuplicates` for a continuously-ingested corpus.
+    *
+    * `flatMapGroupsWithState` keyed by `xxhash(text)` holds one boolean
+    * per distinct text in the state store (checkpointed with the query, so
+    * dedup survives restarts). Within a micro-batch the min doc_id wins,
+    * matching the batch operator's keep-smallest-id tie-break. State is
+    * O(#distinct texts) longs — the smallest possible exact-dedup state;
+    * for unbounded corpora, swap the boolean for a TTL timeout
+    * (`GroupStateTimeout.ProcessingTimeTimeout`) to bound the store.
+    */
+  def dedupExactStream(docs: Dataset[DocText]): Dataset[DocText] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(d => graft.core.Hashing.hashString(if (d.text == null) "" else d.text))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[DocText], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.reduceOption((a, b) => if (a.doc_id <= b.doc_id) a else b).iterator
+          }
+      }
+  }
 
   /** Watermarked sliding-window aggregation over an event stream — the
     * standard streaming-agg shape (used on the `events` table for engine

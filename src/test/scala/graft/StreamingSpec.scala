@@ -37,6 +37,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == expected1 + DocsGen.goldMentions(g2).count())
   }
 
+  test("stateful streaming exact-dedup keeps first doc per text across micro-batches") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("dedup_stream").toString
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+
+    // batch 1: two distinct texts, one duplicated within the batch
+    Seq(
+      Streaming.DocText("d2", "alpha text"),
+      Streaming.DocText("d1", "alpha text"), // same text, smaller id wins
+      Streaming.DocText("d3", "beta text")
+    ).toDS().write.mode("append").parquet(srcDir)
+
+    val outDir = Files.createTempDirectory("dedup_out").toString
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.DocText]].schema)
+        .parquet(srcDir).as[Streaming.DocText]
+      val q = Streaming.dedupExactStream(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def outSet() = spark.read.parquet(outDir)
+      .select("doc_id", "text").as[(String, String)].collect().toSet
+    drain()
+    assert(outSet() == Set(("d1", "alpha text"), ("d3", "beta text")))
+
+    // batch 2: a cross-batch duplicate (must be dropped — state store
+    // remembers "alpha text") and one new text
+    Seq(
+      Streaming.DocText("d9", "alpha text"),
+      Streaming.DocText("d4", "gamma text")
+    ).toDS().write.mode("append").parquet(srcDir)
+    drain()
+    assert(outSet() == Set(("d1", "alpha text"), ("d3", "beta text"), ("d4", "gamma text")))
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     // file stream sources need a DIRECTORY; stage the events table into one
     val batchEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
