@@ -25,6 +25,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 11.0)
   }
 
+  test("GraftExtensions injects vec_dot into a session at build time") {
+    val base = spark // ensure the shared context exists first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // getOrCreate reuses the JVM's SparkContext but builds a NEW session
+    // with the extensions applied — the spark.sql.extensions deployment path
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base)
+      val r = s2.sql(
+        "select vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+          "array(cast(3.0 as float), cast(4.0 as float))) as d").head().getDouble(0)
+      assert(math.abs(r - 11.0) < 1e-9)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("cleanEntityNameCol column chain is equivalent to the scala reference implementation") {
     import spark.implicits._
     // adversarial cases + seeded random strings over a mixed alphabet
