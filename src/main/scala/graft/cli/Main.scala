@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.cli.Main --docs synth:1000 --out /tmp/graft_out --cores 4"
   *
-  * `--docs` accepts `synth:N` (deterministic generator, seed 42) or a path
-  * to a parquet docs table in the `input_hint` shape. Output: partitioned
-  * triples parquet at `--out`, plus a run summary on stdout.
+  * `--docs` accepts `synth:N` (deterministic generator, seed 42), a path
+  * to a parquet docs table in the `input_hint` shape, or `iceberg:<root>`
+  * for a snapshot-isolated read through the Icebergish table layer.
+  * Output: partitioned triples parquet at `--out`, plus a run summary on
+  * stdout.
   */
 object Main {
 
@@ -60,6 +62,10 @@ object Main {
     val docs = args.docs match {
       case s if s.startsWith("synth:") =>
         DocsGen.docs(DocsGen.gen(spark, s.stripPrefix("synth:").toLong, seed = 42L))
+      case s if s.startsWith("iceberg:") =>
+        // snapshot-isolated docs-table read through the table layer — the
+        // north-rule input shape (Iceberg table of interleaved documents)
+        graft.tables.Icebergish.read(spark, s.stripPrefix("iceberg:")).as[graft.core.Doc]
       case path =>
         spark.read.parquet(path).as[graft.core.Doc]
     }

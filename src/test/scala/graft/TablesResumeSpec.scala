@@ -13,6 +13,31 @@ class TablesResumeSpec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("docs read FROM an Icebergish table run the pipeline with the span-sequence invariant intact") {
+    import spark.implicits._
+    val root = tmpDir("docs_table")
+    val g = DocsGen.gen(spark, 120, seed = 5)
+    val direct = DocsGen.docs(g)
+    Icebergish.commit(direct.toDF(), root)
+    val fromTable = Icebergish.read(spark, root).as[graft.core.Doc]
+
+    // per-row span-sequence equality (kind, text, media_ref, order) — the
+    // north-rule invariant — survives the table round-trip
+    val sigDirect = KgPipeline.spanSignature(direct.toDF())
+      .as[(String, String)].collect().toMap
+    val sigTable = KgPipeline.spanSignature(fromTable.toDF())
+      .as[(String, String)].collect().toMap
+    assert(sigTable == sigDirect)
+
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
+    val fromTableTriples = KgPipeline.run(fromTable, lex)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id)).toSet
+    val directTriples = KgPipeline.run(direct, lex)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id)).toSet
+    assert(fromTableTriples == directTriples && fromTableTriples.nonEmpty)
+    lex.unpersist()
+  }
+
   test("icebergish commit/read round-trips, appends accumulate, overwrite cuts history") {
     import spark.implicits._
     val root = tmpDir("icebergish")
