@@ -75,6 +75,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize joins the component mapping by broadcast, not shuffle") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val g = graft.data.DocsGen.gen(spark, 100, seed = 31)
+    val lex = graft.data.Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS())
+    val (triples, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(
+      graft.data.DocsGen.docs(g), lex)
+    val p = plan(triples.toDF())
+    assert(p.contains("BroadcastHashJoin"), "component mapping join lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), s"canonicalize shuffles:\n$p")
+    cleanup()
+  }
+
   test("headline aggregation runs inside whole-stage codegen") {
     // AQE wraps the plan; the codegen explain mode shows the compiled spans
     val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)
