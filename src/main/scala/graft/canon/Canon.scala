@@ -8,30 +8,28 @@ import org.apache.spark.storage.StorageLevel
   * (SURVEY.md §2.5 J4) — the entity-resolution stage that unifies surface
   * nodes and lexicon concepts into canonical entities.
   *
-  * Algorithm: minimum-label propagation to fixpoint. Each iteration
-  * propagates every node's current component id across edges and takes the
-  * per-node min. For the star-shaped mention↔concept graphs this engine
-  * produces, the diameter is tiny (≤4) and the loop converges in 2-3
-  * iterations; the upgrade path for general graphs at 10^12 scale is the
-  * large-star/small-star alternation of Kiveris et al., "Connected
-  * Components in MapReduce and Beyond" (SoCC'14) — same join/agg shape,
-  * fewer iterations.
+  * Algorithm (general graphs): LARGE-STAR / SMALL-STAR alternation
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — each round contracts the graph toward stars centered on
+  * component minima, converging in O(log n) rounds where plain min-label
+  * propagation needs O(diameter). Each phase is one groupBy-min plus one
+  * equi-join — partial-aggregation-friendly, no collect on the data path.
   *
   * ADAPTIVE execution: graphs whose bidirected edge set is bounded
   * (`driverMaxEdges`, default 1M — this pipeline's canonicalization graph
   * is vocabulary-bounded at any corpus scale) resolve with a driver
-  * union-find in a single job; larger graphs run the iterative loop below.
+  * union-find in a single job; larger graphs run the contraction loop.
   *
   * Scale features baked in:
-  *  - SALTED two-phase aggregation: hub entities (a disease appearing in
-  *    millions of docs) concentrate min() inputs on one key; we pre-combine
-  *    on (node, salt) before the final (node) agg so no single reducer sees
-  *    the hub's full fan-in. (AQE skew-join splitting is enabled in the
-  *    session as backstop.)
-  *  - `localCheckpoint()` each iteration truncates the growing lineage so
-  *    the plan doesn't deepen linearly with iterations.
-  *  - Convergence test is an aggregate (`max(changed)`), never a collect of
-  *    data rows.
+  *  - SALTED two-phase min: hub nodes (a disease appearing in millions of
+  *    docs) concentrate min() inputs on one key; the large-star min
+  *    pre-combines on (node, salt) before the final (node) agg so no
+  *    single reducer sees the hub's full fan-in. (AQE skew-join splitting
+  *    is enabled in the session as backstop.)
+  *  - `localCheckpoint()` each round truncates the growing lineage so the
+  *    plan doesn't deepen linearly with rounds.
+  *  - Convergence test is an aggregate (edge-set checksum), never a
+  *    collect of data rows.
   */
 object Canon {
 
@@ -97,58 +95,87 @@ object Canon {
     val loopParts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
-    var labels = bidirected
+    // every node, for the final label join (contraction drops self-loops
+    // and star centers from the src side); materialized while bidirected
+    // is still cached
+    val nodes = bidirected
       .select(col("src").as("node"))
       .distinct()
-      .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
 
-    // convergence via label-set checksum: min-propagation is monotone, so
-    // the (node, component) multiset changes iff any label changed — one
-    // small aggregation per iteration instead of a join + count.
+    // canonical orientation (src > dst); self-loops drop out here and the
+    // nodes table reinstates them at label time
+    def orient(df: DataFrame): DataFrame = df
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    // convergence via edge-set checksum: the contraction reaches a
+    // fixpoint iff the (distinct, canonically oriented) edge set stops
+    // changing — one small aggregation per round instead of a join+count.
     // decimal(38,0) accumulator: ANSI mode (Spark 4 default) rejects long
     // overflow, and hash sums overflow immediately
     def checksum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(xxhash64(col("node"), col("component")).cast("decimal(38,0)")))
+      .agg(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")))
       .head()
       .getDecimal(0)
 
-    var prevSum = checksum(labels)
+    var cur = orient(bidirected).localCheckpoint(eager = false)
+    var prevSum = checksum(cur)
     var iter = 0
-    var converged = false
+    var converged = prevSum == null // empty edge set: nothing to contract
     try while (iter < maxIter && !converged) {
-      // propagate: each edge ships the src's component to the dst
-      val propagated = bidirected
-        .join(labels, bidirected("src") === labels("node"))
-        .select(col("dst").as("node"), col("component"))
+      // LARGE-STAR: for each node u, link every LARGER neighbor v to
+      // m(u) = min(N(u) ∪ {u}). Salted two-phase min: pre-combine on
+      // (u, salt) so a hub's fan-in never lands on one reducer key.
+      val bi = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mLarge = bi
+        .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltBuckets)))
+        .groupBy(col("src"), col("salt"))
+        .agg(min(least(col("dst"), col("src"))).as("m"))
+        .groupBy(col("src"))
+        .agg(min(col("m")).as("m"))
+      val large = bi
+        .join(mLarge, "src")
+        .filter(col("dst") > col("src"))
+        // v > u ≥ m(u), so (v, m) is already canonically oriented
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
 
-      // salted two-phase min: (node, salt) partial → (node) final.
-      // (Hash-agg partial combine already bounds hub fan-in per task; the
-      // explicit salt stage additionally bounds the per-key reduce even if
-      // a single grouping key exceeds one task's input.)
-      val candidates = propagated.union(labels.select(col("node"), col("component")))
+      // SMALL-STAR: on (big → small) edges, link every small neighbor AND
+      // u itself to m(u) = min(N_small(u) ∪ {u}) = min(dst)
+      val mSmall = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
       // localCheckpoint truncates the lineage — without it the logical
-      // plan deepens linearly with iterations, blowing up analysis and
-      // recovery on high-diameter graphs (r1 VERDICT "What's wrong" #2).
+      // plan deepens linearly with rounds (r1 VERDICT "What's wrong" #2).
       // LAZY (eager=false): the checkpoint materializes inside the very
-      // next action (the checksum), keeping the loop at ONE job per
-      // iteration instead of two.
-      val newLabels = candidates
-        .withColumn("salt", pmod(xxhash64(col("component")), lit(saltBuckets)))
-        .groupBy(col("node"), col("salt"))
-        .agg(min(col("component")).as("component"))
-        .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
+      // next action (the checksum), keeping the round at ONE job.
+      val small = large
+        .join(mSmall, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mSmall.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
         .localCheckpoint(eager = false)
 
-      val sum = checksum(newLabels)
-      labels.unpersist()
-      labels = newLabels
+      val sum = checksum(small)
+      cur.unpersist()
+      cur = small
       converged = sum == prevSum
       prevSum = sum
       iter += 1
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     bidirected.unpersist()
-    labels
+
+    // at the fixpoint every edge links a member directly to its component
+    // minimum; centers and isolated (self-loop-only) nodes label themselves
+    val memberLabels = cur.groupBy(col("src").as("node")).agg(min(col("dst")).as("component"))
+    val result = nodes
+      .join(memberLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      .localCheckpoint() // eager: lets the loop's caches release below
+    nodes.unpersist()
+    cur.unpersist()
+    result
   }
 }

@@ -61,6 +61,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp("q") == "q")
   }
 
+  test("pipeline output is identical under different partitionings (determinism under parallelism)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val g = DocsGen.gen(spark, 200, seed = 13).cache()
+    val docs = DocsGen.docs(g)
+    val lex = lexiconFromVocab().cache()
+    def run(parts: Int) = KgPipeline.run(docs, lex, numPartitions = parts)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id)).toSeq.sorted
+    val a = run(3)
+    val b = run(17)
+    assert(a == b && a.nonEmpty)
+    g.unpersist(); lex.unpersist()
+  }
+
   test("end-to-end: pipeline triples match gold-derived triples exactly (P=R=1)") {
     val spark2 = spark
     import spark2.implicits._

@@ -78,6 +78,16 @@ class Round2Spec extends AnyFunSuite {
     assert(cc.forall(_.getString(1) == "n00"), s"labels: ${cc.mkString(",")}")
   }
 
+  test("CC contraction loop converges on a 200-node chain within 20 rounds (O(log n), not O(diameter))") {
+    import spark.implicits._
+    // plain min-label propagation would need ~200 iterations here; the
+    // large-star/small-star alternation must finish in O(log n) rounds
+    val chain = (0 until 199).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("src", "dst")
+    val cc = Canon.connectedComponents(chain, maxIter = 20, driverMaxEdges = 0L).collect()
+    assert(cc.length == 200)
+    assert(cc.forall(_.getString(1) == "n000"))
+  }
+
   test("CC driver fast path and iterative loop agree on a random graph") {
     import spark.implicits._
     // seeded random graph: ~120 nodes, 150 edges, mixed component sizes
