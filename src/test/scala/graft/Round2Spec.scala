@@ -88,6 +88,38 @@ class Round2Spec extends AnyFunSuite {
     assert(cc.forall(_.getString(1) == "n000"))
   }
 
+  test("CC contraction handles a 20k-leaf hub star through the salted min (forced loop)") {
+    import spark.implicits._
+    // one hub node with 20k neighbors: the large-star min over the hub's
+    // full fan-in must flow through the (node, salt) pre-aggregation
+    val star = (1 to 20000).map(i => ("hub", f"leaf$i%05d")).toDF("src", "dst")
+    val cc = Canon.connectedComponents(star, driverMaxEdges = 0L).collect()
+    assert(cc.length == 20001)
+    assert(cc.forall(_.getString(1) == "hub")) // "hub" < "leaf..." lexicographically
+  }
+
+  test("pipeline handles a hub entity present in EVERY document") {
+    import spark.implicits._
+    val objects = Seq( // one per non-disease type, rotated across docs
+      ("食管", "Anatomical", "located_in"),
+      ("阿司匹林", "Drug", "treated_by"),
+      ("胸片", "Image", "diagnosed_by"),
+      ("血常规", "Laboratory", "has_finding"),
+      ("切除术", "Operation", "treated_with"))
+    val docs = (0 until 1000).map { i =>
+      val (surf, _, _) = objects(i % objects.length)
+      graft.core.Doc(f"hubdoc-$i%04d",
+        Seq(graft.core.Span("text", s"的高血压病的$surf", "", 0)))
+    }.toDS()
+    val lex = Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+    val triples = graft.pipeline.KgPipeline.run(docs, lex).collect()
+    assert(triples.length == 1000) // exactly one triple per doc
+    assert(triples.map(_.subj).distinct.length == 1) // the hub disease
+    val byPred = triples.groupBy(_.pred).view.mapValues(_.length).toMap
+    assert(byPred == objects.map(_._3 -> 200).toMap)
+    lex.unpersist()
+  }
+
   test("CC driver fast path and iterative loop agree on a random graph") {
     import spark.implicits._
     // seeded random graph: ~120 nodes, 150 edges, mixed component sizes
