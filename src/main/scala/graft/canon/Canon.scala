@@ -34,14 +34,13 @@ import org.apache.spark.storage.StorageLevel
 object Canon {
 
   /** @param edges two string columns `src`, `dst` (undirected pairs)
-    * @param driverMaxEdges adaptive cutover: a graph whose deduped
-    *        bidirected edge set is at most this size resolves with a
-    *        driver-side union-find in ONE extra job (a bounded collect —
-    *        same class as collecting a groupBy count), returning a
-    *        LocalRelation that downstream broadcast joins consume without
-    *        any shuffle. This pipeline's canonicalization graph is
-    *        vocabulary-bounded (distinct surfaces ↔ concepts), so at ANY
-    *        corpus scale it takes this path; the salted iterative loop
+    * @param driverMaxEdges adaptive cutover: a graph whose raw edge list
+    *        is at most this size resolves with a driver-side union-find —
+    *        two scan-only jobs (count + bounded collect), zero shuffles —
+    *        returning a LocalRelation that downstream broadcast joins
+    *        consume without an exchange. This pipeline's canonicalization
+    *        graph is vocabulary-bounded (distinct surfaces ↔ concepts), so
+    *        at ANY corpus scale it takes this path; the contraction loop
     *        below is the general-graph path (forced with 0).
     * @return DataFrame(node: string, component: string) — component is the
     *         lexicographically smallest node id in the component.
@@ -54,25 +53,15 @@ object Canon {
     val spark = edges.sparkSession
 
     val e0 = edges.select(col("src"), col("dst"))
-    val bidirected = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Size the loop's shuffles to the graph, not the session default: on a
-    // vocabulary-bounded graph (this pipeline's case — thousands of nodes)
-    // a 64-partition shuffle per iteration is pure task-scheduling
-    // overhead, and it runs EVERY iteration. ~1 partition per 100k edges,
-    // restored after the loop. (The count also materializes the persist.)
-    val edgeCount = bidirected.count()
-
-    if (edgeCount <= driverMaxEdges) {
-      // bounded graph: min-root union-find with path compression. Union
-      // always attaches the larger root under the smaller, so every set's
-      // root is its lexicographic minimum — identical semantics to the
-      // min-propagation fixpoint, without per-iteration job overhead.
-      val rows = bidirected.collect()
-      bidirected.unpersist()
+    if (driverMaxEdges > 0 && e0.count() <= driverMaxEdges) {
+      // bounded graph: min-root union-find with path compression over the
+      // RAW edge list — no bidirection, no dedup, no shuffle at all (the
+      // count and the collect are both scan-only jobs). Union always
+      // attaches the larger root under the smaller, so every set's root is
+      // its lexicographic minimum — identical semantics to the contraction
+      // fixpoint, without per-round job overhead.
+      val rows = e0.collect()
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
         var r = x
@@ -81,16 +70,30 @@ object Canon {
         while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
       rows.foreach { r =>
-        val ra = find(r.getString(0))
-        val rb = find(r.getString(1))
+        val a = r.getString(0)
+        val b = r.getString(1)
+        nodes += a += b
+        val ra = find(a)
+        val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      // bidirected contains both directions, so column 0 covers every node
-      val nodes = rows.iterator.map(_.getString(0)).toArray.distinct
       import spark.implicits._
-      return nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+      return nodes.iterator.map(n => (n, find(n))).toSeq.toDF("node", "component")
     }
+
+    val bidirected = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Size the loop's shuffles to the graph, not the session default: on a
+    // vocabulary-bounded graph (this pipeline's case — thousands of nodes)
+    // a 64-partition shuffle per round is pure task-scheduling overhead,
+    // and it runs EVERY round. ~1 partition per 100k edges, restored after
+    // the loop. (The count also materializes the persist.)
+    val edgeCount = bidirected.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)

@@ -32,22 +32,36 @@ object Profile {
     time("docs scan+count")(docs.count())
     val lex = time("lexicon")(Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache())
     lex.count()
+
+    // the stages of KgPipeline.runWithCleanup, timed individually — same
+    // persists, same surface-level resolution path the pipeline executes
     val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
-    time("detect")(mentions.count())
-    val mentionsC = mentions.persist()
-    time("detect(persist)")(mentionsC.count())
-    val linked = Linker.link(mentionsC, lex)
-    time("link")(linked.count())
-    val linkedC = linked.persist()
-    time("link(persist)")(linkedC.count())
-    val edges = linkedC.select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst")).distinct()
-    val comp = time("cc")(graft.canon.Canon.connectedComponents(edges))
-    time("cc count")(comp.count())
-    val triples = graft.assemble.Triples.assemble(linkedC)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    time("detect (persist)")(mentions.count())
+    val surfaces = mentions.select(col("text"), col("entity_type")).distinct().as[(String, String)]
+    val resolution = Linker.surfaceResolution(surfaces, lex)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("surface resolution")(resolution.count())
+    val linked = mentions
+      .join(broadcast(resolution), Seq("text", "entity_type"), "inner")
+      .select(col("doc_id"), col("span_idx"), col("entity_type"), col("text"),
+        col("start"), col("end"), col("confidence"), col("concept_id"), col("link_score"))
+      .as[graft.core.LinkedMention]
+      .persist()
+    time("link (broadcast join)")(linked.count())
+    val edges = resolution
+      .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
+      .distinct()
+    val comp = time("cc (adaptive)")(graft.canon.Canon.connectedComponents(edges))
+    val triples = graft.assemble.Triples.assemble(linked)
     time("assemble")(triples.count())
     val canonTriples = graft.assemble.Triples.canonicalize(triples, comp)
     time("canonicalize")(canonTriples.count())
-    time("full KgPipeline.run")(KgPipeline.run(docs, lex).count())
+    spark.catalog.clearCache()
+    time("full KgPipeline.run (cold)")({
+      val (t, cleanup) = KgPipeline.runWithCleanup(docs, lex)
+      val n = t.count(); cleanup(); n
+    })
     spark.stop()
   }
 }
