@@ -80,6 +80,12 @@ object Dedup {
     val rows = k / bands
     val sigUdf = udf((s: String) => minhashSignature(if (s == null) "" else s, k, shingleWidth))
 
+    // DELIBERATE persist with caller-managed release: the signature UDF is
+    // the dominant CPU cost and the plan consumes sigs on four branches
+    // (bucket sizes, both self-join sides, the jaccard columns). The
+    // returned DataFrame is lazy, so this function cannot unpersist;
+    // callers release via spark.catalog.clearCache() once the result is
+    // materialized (Verify/Bench do, per query).
     val sigs = df
       .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .persist()
@@ -188,6 +194,9 @@ object Dedup {
       threshold: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
     val shUdf = udf((s: String) => shingles(if (s == null) "" else s, w).distinct)
+    // DELIBERATE persist, caller-managed release (see minhashPairs): the
+    // shingle explode feeds sizes, the document-frequency filter, and both
+    // inverted-index join sides; clearCache() after materializing releases it
     val exploded = df
       .select(col(idCol).as("id"), explode(shUdf(col(textCol))).as("shingle"))
       .withColumn("shingle", xxhash64(col("shingle"))) // shuffle hashes, not strings
