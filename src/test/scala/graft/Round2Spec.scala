@@ -120,20 +120,23 @@ class Round2Spec extends AnyFunSuite {
     lex.unpersist()
   }
 
-  test("CC driver fast path and iterative loop agree on a random graph") {
+  test("CC driver fast path and contraction loop agree on random graphs across seeds and densities") {
     import spark.implicits._
-    // seeded random graph: ~120 nodes, 150 edges, mixed component sizes
-    val edges = (0 until 150).map { i =>
-      val h = graft.core.Hashing.hash2(77, i)
-      val a = graft.core.Hashing.pick(graft.core.Hashing.mix64(h + 1), 120)
-      val b = graft.core.Hashing.pick(graft.core.Hashing.mix64(h + 2), 120)
-      (f"v$a%03d", f"v$b%03d")
-    }.toDF("src", "dst")
-    val fast = Canon.connectedComponents(edges).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val loop = Canon.connectedComponents(edges, driverMaxEdges = 0L).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(fast == loop)
+    // sparse (forest-ish, long chains), medium, and dense (few giant
+    // components) regimes — each compared against the union-find oracle
+    for ((seed, nodes, nEdges) <- Seq((77, 120, 150), (101, 200, 80), (202, 60, 400), (303, 500, 350))) {
+      val edges = (0 until nEdges).map { i =>
+        val h = graft.core.Hashing.hash2(seed, i)
+        val a = graft.core.Hashing.pick(graft.core.Hashing.mix64(h + 1), nodes)
+        val b = graft.core.Hashing.pick(graft.core.Hashing.mix64(h + 2), nodes)
+        (f"v$a%03d", f"v$b%03d")
+      }.toDF("src", "dst")
+      val fast = Canon.connectedComponents(edges).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val loop = Canon.connectedComponents(edges, driverMaxEdges = 0L).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(fast == loop, s"seed=$seed nodes=$nodes edges=$nEdges")
+    }
   }
 
   test("empty-surface mentions survive linking with the S: fallback concept") {
