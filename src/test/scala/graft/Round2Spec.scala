@@ -207,6 +207,20 @@ class Round2Spec extends AnyFunSuite {
     assert(links(Lexicon.dequantize(q)) == links(lex))
   }
 
+  test("full pipeline emits identical triples through the int8-quantized lexicon") {
+    import spark.implicits._
+    val g = graft.data.DocsGen.gen(spark, 150, seed = 29).cache()
+    val docs = graft.data.DocsGen.docs(g)
+    val lex = Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+    def triples(l: org.apache.spark.sql.Dataset[graft.core.LexiconEntry]) =
+      graft.pipeline.KgPipeline.run(docs, l)
+        .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id)).toSet
+    val exact = triples(lex)
+    val quantized = triples(Lexicon.dequantize(Lexicon.quantize(lex)))
+    assert(quantized == exact && exact.nonEmpty)
+    g.unpersist(); lex.unpersist()
+  }
+
   test("pruned lexicon links surviving surfaces identically") {
     import spark.implicits._
     val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
