@@ -197,7 +197,13 @@ object SparkEntry {
     }),
     "q_docs_quality" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
+      // the composite score is re-rounded to 4 decimals for the oracle
+      // compare: it is the one column built from a CHAIN of rounded double
+      // terms, where Spark's HALF_UP and DuckDB's rounding can differ by
+      // an ulp at a 1e-6 boundary (observed at sf0.1); the ratio columns
+      // are exact integer divisions and stay at 6
       TextAnalysis.qualityFeatures(d, col("text"))
+        .withColumn("quality_score", round(col("quality_score"), 4))
         .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score")
         .orderBy("doc_id")
     }),
@@ -215,8 +221,11 @@ object SparkEntry {
     "q_docs_argmax" -> ((s, dir) => {
       // A9 analog (best-model argmax, train_enhanced.py:432-445): highest-
       // quality doc per source via max_by — single shuffle with partial
-      // agg, no window. Ties (rounded score) break to the smallest doc_id.
+      // agg, no window. Ordering uses the 4-decimal score (see
+      // q_docs_quality note) with ties broken to the smallest doc_id so
+      // both engines rank identically.
       val d = TextAnalysis.qualityFeatures(s.read.parquet(t(dir, "documents")), col("text"))
+        .withColumn("quality_score", round(col("quality_score"), 4))
       d.groupBy(col("source"))
         .agg(
           max_by(col("doc_id"), struct(col("quality_score"), (lit(0L) - col("doc_id")).as("neg_id"))).as("best_doc_id"),
@@ -479,7 +488,7 @@ object SparkEntry {
         |          / greatest(length(text), 1), 6) * 10, 1.0)) * 0.25
         |    + least(round(len(list_filter(string_split(trim(text), ' '),
         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
-        |          / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 6) AS quality_score
+        |          / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_docs_lang_dist" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
@@ -495,7 +504,7 @@ object SparkEntry {
         |            / greatest(length(text), 1), 6) * 10, 1.0)) * 0.25
         |      + least(round(len(list_filter(string_split(trim(text), ' '),
         |            t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
-        |            / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 6) AS qs
+        |            / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 4) AS qs
         |  FROM documents),
         |r AS (SELECT source, doc_id, qs,
         |        row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC) AS rn FROM q)
