@@ -246,21 +246,24 @@ object Dedup {
     require(planes % bands == 0, "planes must be divisible by bands")
     val pv = Similarity.planeVectors(0xB17, planes, dim)
     val bandsUdf = udf((v: Seq[Float]) => Similarity.signBands(v, pv, bands))
+    // norm computed once per input row (pre-explode), not per candidate pair
     val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), posexplode(bandsUdf(col("v"))).as(Seq("band", "bucket")))
+      .withColumn("vn", Similarity.normCol(col("v")))
+      .select(col("id"), col("v"), col("vn"),
+        posexplode(bandsUdf(col("v"))).as(Seq("band", "bucket")))
     val bucketSizes = withKey.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
     val pruned = withKey.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
+    val b = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
         round(
           Similarity.dotCol(col("v_a"), col("v_b")) /
-            greatest(
-              sqrt(Similarity.dotCol(col("v_a"), col("v_a"))) *
-                sqrt(Similarity.dotCol(col("v_b"), col("v_b"))), lit(1e-12)), 6))
+            greatest(col("n_a") * col("n_b"), lit(1e-12)), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

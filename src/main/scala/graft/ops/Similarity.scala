@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen'd dot product (array<float> inputs): a single buffer
+    * pass per call, vs three allocations (zip_with array + two lambdas)
+    * for the higher-order-function formulation. Same arithmetic: per-pair
+    * float→double products accumulated left-to-right in double.
+    */
   private[ops] def dotCol(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot.vec_dot(x, y)
 
-  private def normCol(x: Column): Column = sqrt(dotCol(x, x))
+  private[ops] def normCol(x: Column): Column = sqrt(dotCol(x, x))
 
   /** One scored candidate. */
   case class Scored(neighbor_id: Long, cosine: Double)
@@ -78,13 +83,18 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // norms are precomputed ONCE per row below the join — computing them
+    // in the cosine expression would re-traverse both arrays per PAIR
+    // (|corpus|×|queries| times instead of |corpus|+|queries|)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", normCol(col("cv")))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", normCol(col("qv")))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dotCol(col("cv"), col("qv")) /
-          greatest(normCol(col("cv")) * normCol(col("qv")), lit(1e-12)))
+          greatest(col("cnorm") * col("qnorm"), lit(1e-12)))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     rankTopK(scored, k)
   }
@@ -157,7 +167,8 @@ object Similarity {
 
     val c = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
-      .select(col("neighbor_id"), col("cv"),
+      .withColumn("cnorm", normCol(col("cv"))) // once per corpus row, pre-explode
+      .select(col("neighbor_id"), col("cv"), col("cnorm"),
         posexplode(bandsUdf(col("cv"))).as(Seq("band", "bucket")))
     // cap hot buckets on the corpus side (skew guard, same as minhashPairs)
     val bucketSizes = c.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
@@ -165,7 +176,8 @@ object Similarity {
 
     val q = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"),
+      .withColumn("qnorm", normCol(col("qv")))
+      .select(col("query_id"), col("qv"), col("qnorm"),
         posexplode(bandsUdf(col("qv"))).as(Seq("band", "bucket")))
 
     val scored = cPruned
@@ -174,7 +186,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         dotCol(col("cv"), col("qv")) /
-          greatest(normCol(col("cv")) * normCol(col("qv")), lit(1e-12)))
+          greatest(col("cnorm") * col("qnorm"), lit(1e-12)))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     rankTopK(scored, k)
   }
@@ -245,15 +257,17 @@ object Similarity {
     val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, nprobe))
 
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", normCol(col("cv")))
       .withColumn("cell", assignUdf(col("cv")))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"), explode(probeUdf(col("qv"))).as("cell"))
+      .withColumn("qnorm", normCol(col("qv")))
+      .select(col("query_id"), col("qv"), col("qnorm"), explode(probeUdf(col("qv"))).as("cell"))
     val scored = c
       .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dotCol(col("cv"), col("qv")) /
-          greatest(normCol(col("cv")) * normCol(col("qv")), lit(1e-12)))
+          greatest(col("cnorm") * col("qnorm"), lit(1e-12)))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     rankTopK(scored, k)
   }
