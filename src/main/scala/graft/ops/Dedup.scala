@@ -105,13 +105,12 @@ object Dedup {
 
     val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a
-      .join(b, Seq("band", "bucket"))
+    // Score + threshold BEFORE the pair-dedup shuffle: est_jaccard is
+    // deterministic per pair, so the dedup exchange carries (long, long,
+    // double) rows instead of two k-long signatures (~50x narrower), and
+    // below-threshold candidates never hit the wire at all.
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    pairs
       .withColumn(
         "est_jaccard",
         aggregate(
@@ -120,6 +119,7 @@ object Dedup {
           (acc, x) => acc + x) / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -171,12 +171,14 @@ object Dedup {
     val pruned = banded.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bval"))
     val a = pruned.select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = pruned.select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // distance + filter before the pair-dedup shuffle: only pairs within
+    // the Hamming bound are exchanged (hamming is deterministic per pair)
     a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------- n-gram Jaccard
@@ -257,14 +259,17 @@ object Dedup {
       col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
     val b = pruned.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
+    // exact-cosine verify + threshold BEFORE the pair-dedup shuffle: the
+    // dedup exchange carries (long, long, double) rows, not two embedding
+    // vectors — at dim=256 that is ~100x less shuffle volume per candidate
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
         round(
           Similarity.dotCol(col("v_a"), col("v_b")) /
             greatest(col("n_a") * col("n_b"), lit(1e-12)), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 }

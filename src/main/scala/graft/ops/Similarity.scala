@@ -40,12 +40,18 @@ object Similarity {
     * (cosine desc, neighbor_id asc), so partial aggregation caps both
     * memory and shuffle volume at k per (query, map task). This is the
     * partial top-k the window-rank plan lacked (r1 VERDICT "Perf" item).
+    *
+    * Duplicate-tolerant: a candidate seen twice (an LSH pair colliding in
+    * several bands — cosine is deterministic per pair, so the copies are
+    * identical) is kept once. That lets `lshTopK` feed raw band-join
+    * candidates straight into the aggregation, with NO dedup exchange of
+    * vector-carrying rows before it.
     */
   class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
     private def lt(a: Scored, b: Scored): Boolean =
       a.cosine > b.cosine || (a.cosine == b.cosine && a.neighbor_id < b.neighbor_id)
     private def trim(xs: Seq[Scored]): Seq[Scored] =
-      xs.sortWith(lt).take(k)
+      xs.distinct.sortWith(lt).take(k)
     override def zero: TopKBuf = TopKBuf(Nil)
     override def reduce(b: TopKBuf, a: Scored): TopKBuf =
       if (b.items.length >= k && lt(b.items.last, a)) b else TopKBuf(trim(b.items :+ a))
@@ -180,10 +186,12 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qnorm"),
         posexplode(bandsUdf(col("qv"))).as(Seq("band", "bucket")))
 
+    // no dropDuplicates here: band-collision copies of a pair carry an
+    // identical deterministic cosine, and the duplicate-tolerant TopKAgg
+    // keeps one — the only exchange is the k-bounded partial aggregation
     val scored = cPruned
       .join(q, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         dotCol(col("cv"), col("qv")) /
           greatest(col("cnorm") * col("qnorm"), lit(1e-12)))
