@@ -350,6 +350,41 @@ object SparkEntry {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
     }),
+    "streaming_dedup_exact" -> ((s, dir) => {
+      // STATEFUL streaming exact-dedup driven to completion: the documents
+      // table as a one-trigger AvailableNow file stream through
+      // `flatMapGroupsWithState` (keep-first-per-text, min doc_id within
+      // the micro-batch). Deterministic because the single parquet file
+      // arrives as one micro-batch, so the hard DuckDB oracle (keep the
+      // min-VARCHAR doc_id per distinct text) applies to a STREAMING query.
+      import s.implicits._
+      val schema = s.read.parquet(t(dir, "documents")).schema
+      // the file-stream source requires a DIRECTORY; the testdata table is
+      // a single parquet file — stage a temp dir with a symlink to it
+      val src = java.nio.file.Paths.get(t(dir, "documents"))
+      val streamDir =
+        if (java.nio.file.Files.isDirectory(src)) src.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+          java.nio.file.Files.createSymbolicLink(d.resolve("part-0.parquet"), src)
+          d.toString
+        }
+      val stream = s.readStream.schema(schema).parquet(streamDir)
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .as[graft.streaming.Streaming.DocText]
+      val name = "graft_stream_dedup_" + java.lang.Long.toHexString(System.nanoTime())
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+      val q = graft.streaming.Streaming.dedupExactStream(stream).toDF()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val (_, docs) = goldAndDocs(s, dir)
@@ -509,6 +544,11 @@ object SparkEntry {
         |r AS (SELECT source, doc_id, qs,
         |        row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC) AS rn FROM q)
         |SELECT source, doc_id AS best_doc_id, qs AS best_quality FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+    "streaming_dedup_exact" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS text_md5 FROM (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
     "q_events_window_agg" ->
       """SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 6) AS total_value
