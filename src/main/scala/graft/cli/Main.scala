@@ -96,7 +96,16 @@ object Main {
       val triples = KgPipeline.run(docs, lex, args.partitions)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (args.explain) triples.explain("formatted")
-      triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
+      if (args.out.startsWith("iceberg:")) {
+        // north-star graph materialize: snapshot-committed PARTITIONED
+        // Icebergish graph table — predicate-pruned reads + time travel
+        val root = args.out.stripPrefix("iceberg:")
+        val snap = graft.tables.Icebergish.commit(
+          triples.toDF(), root, "overwrite", partitionBy = Seq("pred"))
+        println(s"graft-kg: committed snapshot $snap at $root (partitioned by pred)")
+      } else {
+        triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
+      }
       // count the cached result, not a re-read: an all-empty run writes no
       // part files and parquet schema inference would fail
       triples.count()

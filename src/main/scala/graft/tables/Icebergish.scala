@@ -41,7 +41,8 @@ object Icebergish {
       mode: String, // "append" | "overwrite"
       files: Seq[String],
       rows: Long,
-      committedAt: String)
+      committedAt: String,
+      partitionBy: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,7 +84,10 @@ object Icebergish {
       m.get("mode").toString,
       m.get("files").asInstanceOf[java.util.List[String]].asScala.toSeq,
       m.get("rows").toString.toLong,
-      m.get("committed_at").toString)
+      m.get("committed_at").toString,
+      Option(m.get("partition_by")) // absent in pre-partitioning manifests
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Nil))
   }
 
   /** Effective file set of a snapshot: walk the parent chain until an
@@ -101,8 +105,18 @@ object Icebergish {
     files.toSeq
   }
 
-  /** Commit a DataFrame as a new snapshot. Returns the new snapshot id. */
-  def commit(df: DataFrame, root: String, mode: String = "append"): Long = {
+  /** Commit a DataFrame as a new snapshot. Returns the new snapshot id.
+    *
+    * With `partitionBy` non-empty the snapshot's data files are laid out
+    * hive-style (`pred=treated_by/part-...parquet`) and the partition spec
+    * is recorded in the manifest — the "partitioned graph table" shape:
+    * a reader of one predicate touches only that predicate's files.
+    */
+  def commit(
+      df: DataFrame,
+      root: String,
+      mode: String = "append",
+      partitionBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite")
     val spark = df.sparkSession
     val f = fs(spark, root)
@@ -110,16 +124,32 @@ object Icebergish {
     val id = parent + 1
     val dataDir = new Path(root, s"data/snap-$id")
 
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir.toString)
 
-    val committed = f
-      .listStatus(dataDir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/snap-$id/${st.getPath.getName}")
-      .sorted
+    // recursive listing: partitioned layouts nest files under key=value dirs
+    val rootQ = f.makeQualified(new Path(root)).toString
+    val committed = {
+      val buf = mutable.ArrayBuffer.empty[String]
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath.toString.stripPrefix(rootQ + "/")
+      }
+      buf.sorted.toSeq
+    }
     val rows =
       if (committed.isEmpty) 0L
-      else spark.read.parquet(committed.map(p => s"$root/$p"): _*).count()
+      else {
+        val paths = committed.map(p => s"$root/$p")
+        val reader =
+          if (partitionBy.nonEmpty)
+            spark.read.option("basePath", f.makeQualified(dataDir).toString)
+          else spark.read
+        reader.parquet(paths: _*).count()
+      }
 
     val manifest = new java.util.LinkedHashMap[String, Object]()
     manifest.put("snapshot", java.lang.Long.valueOf(id))
@@ -128,6 +158,7 @@ object Icebergish {
     manifest.put("files", committed.toList.asJava)
     manifest.put("rows", java.lang.Long.valueOf(rows))
     manifest.put("committed_at", java.time.Instant.now().toString)
+    if (partitionBy.nonEmpty) manifest.put("partition_by", partitionBy.toList.asJava)
     manifest.put("schema", df.schema.json)
 
     f.mkdirs(new Path(root, "manifests"))
@@ -152,14 +183,37 @@ object Icebergish {
     id
   }
 
-  /** Read the table at `current` (or a past snapshot: time travel). */
+  /** Read the table at `current` (or a past snapshot: time travel).
+    *
+    * Partitioned snapshots are read with their own `basePath` so the
+    * hive partition columns are recovered; snapshots in the chain may mix
+    * partition specs (e.g. a legacy unpartitioned append followed by
+    * partitioned ones) — they are aligned with `unionByName`.
+    */
   def read(spark: SparkSession, root: String, snapshot: Option[Long] = None): DataFrame = {
     val id = snapshot
       .orElse(currentSnapshotId(spark, root))
       .getOrElse(sys.error(s"no current snapshot in $root"))
-    val files = fileSet(spark, root, id)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(p => s"$root/$p"): _*)
+    val chain = mutable.ListBuffer.empty[Snapshot]
+    var cur = id
+    var done = false
+    while (!done) {
+      val s = readManifest(spark, root, cur)
+      chain.prepend(s)
+      if (s.mode == "overwrite" || s.parent < 0) done = true else cur = s.parent
+    }
+    val parts = chain.filter(_.files.nonEmpty).map { s =>
+      val paths = s.files.map(p => s"$root/$p")
+      val f = fs(spark, root)
+      val reader =
+        if (s.partitionBy.nonEmpty)
+          spark.read.option("basePath",
+            f.makeQualified(new Path(root, s"data/snap-${s.id}")).toString)
+        else spark.read
+      reader.parquet(paths: _*)
+    }
+    if (parts.isEmpty) spark.emptyDataFrame
+    else parts.reduce(_.unionByName(_))
   }
 
   def exists(spark: SparkSession, root: String): Boolean =

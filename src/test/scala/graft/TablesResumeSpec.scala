@@ -53,6 +53,43 @@ class TablesResumeSpec extends AnyFunSuite {
     assert(Icebergish.currentSnapshotId(spark, root).contains(s3))
   }
 
+  test("partitioned commits recover partition columns, prune by predicate, and mix with unpartitioned history") {
+    import spark.implicits._
+    val root = tmpDir("icebergish_part")
+    // legacy unpartitioned append first — the chain must still align
+    Icebergish.commit(Seq(("d0", "s0", "treated_by", "o0")).toDF("doc_id", "subj", "pred", "obj"), root)
+    val s2 = Icebergish.commit(
+      Seq(("d1", "s1", "treated_by", "o1"), ("d2", "s2", "has_finding", "o2"))
+        .toDF("doc_id", "subj", "pred", "obj"),
+      root, "append", partitionBy = Seq("pred"))
+    val all = Icebergish.read(spark, root)
+    assert(all.count() == 3)
+    // the hive partition column is recovered with its values
+    assert(all.select("pred").as[String].collect().sorted
+      === Array("has_finding", "treated_by", "treated_by"))
+    // partitioned snapshot lays files under pred=... dirs
+    val m = Icebergish.readManifest(spark, root, s2)
+    assert(m.partitionBy == Seq("pred"))
+    assert(m.files.forall(f => f.contains("pred=")))
+    // a single-predicate read touches only that predicate's files: the
+    // pushed filter prunes the partitioned snapshot's scan to one dir
+    val one = all.filter($"pred" === "has_finding")
+    assert(one.count() == 1)
+    val scanned = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    // 1 file from the pruned partitioned snapshot + 1 unpartitioned legacy file
+    assert(scanned <= 2, s"expected partition-pruned scan, read $scanned files")
+    // overwrite with a partitioned snapshot cuts history; time travel still sees 3
+    val s3 = Icebergish.commit(
+      Seq(("d9", "s9", "located_in", "o9")).toDF("doc_id", "subj", "pred", "obj"),
+      root, "overwrite", partitionBy = Seq("pred"))
+    assert(Icebergish.read(spark, root).count() == 1)
+    assert(Icebergish.read(spark, root, Some(s2)).count() == 3)
+    assert(Icebergish.currentSnapshotId(spark, root).contains(s3))
+  }
+
   test("resumable run completes all chunks and a restart is a no-op") {
     import spark.implicits._
     val g = DocsGen.gen(spark, 200, seed = 5).cache()
