@@ -115,7 +115,9 @@ object Resumable {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTriples = triples.count()
       cleanup() // pipeline-internal caches released per chunk
-      Icebergish.commit(triples.toDF(), triplesRoot, "append")
+      // pred-partitioned append: the resumable sink produces the same
+      // partitioned-graph-table shape as the batch iceberg: sink
+      Icebergish.commit(triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"))
       val wallMs = (System.nanoTime() - t0) / 1000000
       val progress = ChunkProgress(
         runId, chunk, nDocs, -1L, nTriples, wallMs,
