@@ -99,9 +99,9 @@ object Fixtures {
     val mediaRows = gold.flatMap { gd =>
       gd.doc.spans.zipWithIndex.collect {
         case (s, i) if s.kind != "text" =>
-          val d = Multimodal.decodeStub(
+          val d = Multimodal.decodeItem(
             Multimodal.MediaItem(gd.doc.doc_id, i, s.kind, s.media_ref,
-              Multimodal.syntheticPayload(s.media_ref)))
+              Multimodal.payloadFor(s.kind, s.media_ref)))
           (gd.doc.doc_id, i, s.kind, s.media_ref, d.meta.width, d.meta.height,
             d.meta.sample_rate, d.meta.format, d.features(0).toDouble)
       }
