@@ -25,7 +25,9 @@ object Main {
       explain: Boolean = false,
       resumable: Boolean = false,
       chunks: Int = 8,
-      stream: Boolean = false)
+      stream: Boolean = false,
+      streamKg: Boolean = false,
+      dumpDocs: Boolean = false)
 
   def parse(argv: Array[String]): Args =
     argv.sliding(2, 2).foldLeft(Args()) {
@@ -37,6 +39,8 @@ object Main {
       case (a, Array("--resumable", v)) => a.copy(resumable = v.toBoolean)
       case (a, Array("--chunks", v)) => a.copy(chunks = v.toInt)
       case (a, Array("--stream", v)) => a.copy(stream = v.toBoolean)
+      case (a, Array("--stream-kg", v)) => a.copy(streamKg = v.toBoolean)
+      case (a, Array("--dump-docs", v)) => a.copy(dumpDocs = v.toBoolean)
       case (a, Array(flag, _)) => sys.error(s"unknown flag: $flag"); a
       case (a, _) => a
     }
@@ -70,7 +74,23 @@ object Main {
         spark.read.parquet(path).as[graft.core.Doc]
     }
     val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
-    val n: Long = if (args.stream) {
+    val n: Long = if (args.dumpDocs) {
+      // stage the docs table itself (e.g. as input for --stream/--stream-kg)
+      docs.toDF().write.mode("append").parquet(args.out)
+      docs.count()
+    } else if (args.streamKg) {
+      // incremental END-TO-END KG: drain available docs files, run the
+      // full pipeline per micro-batch, append pred-partitioned snapshots;
+      // re-running picks up only new files (idempotent batch markers)
+      require(!args.docs.startsWith("synth:"), "--stream-kg needs a docs directory")
+      val q = graft.streaming.Streaming.kgStream(
+        graft.streaming.Streaming.docsStream(spark, args.docs), lex,
+        s"${args.out}/triples", s"${args.out}/checkpoint")
+      q.awaitTermination()
+      if (graft.tables.Icebergish.exists(spark, s"${args.out}/triples"))
+        graft.tables.Icebergish.read(spark, s"${args.out}/triples").count()
+      else 0L
+    } else if (args.stream) {
       // incremental mention detection: drain whatever is currently in the
       // docs directory, checkpoint, exit; re-running processes only new files
       require(!args.docs.startsWith("synth:"), "--stream needs a docs directory")
@@ -111,7 +131,8 @@ object Main {
       triples.count()
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    val what = if (args.stream) "mentions" else "triples"
+    val what =
+      if (args.dumpDocs) "docs" else if (args.stream) "mentions" else "triples"
     println(f"graft-kg: $n%d $what -> ${args.out} in $sec%.1f s (${n / sec}%.1f $what/s)")
     spark.stop()
   }

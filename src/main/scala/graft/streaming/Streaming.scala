@@ -57,6 +57,47 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Incremental END-TO-END KG construction: each micro-batch runs the
+    * full batch pipeline (detect → link → canonicalize → assemble) via
+    * `foreachBatch` and appends a pred-partitioned snapshot to an
+    * Icebergish triples table. This is the idiomatic Spark shape for a
+    * continuously-ingested docs table: the batch plan (broadcast link,
+    * adaptive CC, partial-agg assembly) is reused unchanged per batch.
+    *
+    * Restart safety: the streaming checkpoint makes each source file
+    * processed exactly once, but `foreachBatch` may RE-DELIVER a batch
+    * whose side effect already ran (crash between commit and checkpoint
+    * advance). Committed batch ids are therefore tracked as marker files
+    * under `<root>/_batches/`; a re-delivered batch is skipped, making the
+    * append idempotent end-to-end.
+    *
+    * Canonicalization note: concept mapping derives from the
+    * vocabulary-bounded surface-resolution table, so canonical ids are
+    * stable across batches for a fixed lexicon.
+    */
+  def kgStream(
+      docs: Dataset[Doc],
+      lexicon: Dataset[graft.core.LexiconEntry],
+      triplesRoot: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$triplesRoot/_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val (triples, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(batch, lexicon)
+          graft.tables.Icebergish.commit(
+            triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"))
+          cleanup()
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One document's identity for streaming dedup. */
   case class DocText(doc_id: String, text: String)
 

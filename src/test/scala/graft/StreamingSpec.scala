@@ -77,6 +77,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(outSet() == Set(("d1", "alpha text"), ("d3", "beta text"), ("d4", "gamma text")))
   }
 
+  test("end-to-end streaming KG construction is incremental, idempotent, and equals the batch pipeline") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("kg_stream").toString
+    val outRoot = Files.createTempDirectory("kg_stream_out").toString + "/triples"
+    val ckpt = Files.createTempDirectory("kg_stream_ckpt").toString
+    val lex = graft.data.Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
+    def tripleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "doc_id")
+        .as[(String, String, String, String)].collect().toSet
+
+    // wave 1
+    val g1 = DocsGen.gen(spark, 60, seed = 21)
+    DocsGen.docs(g1).write.mode("append").parquet(srcDir)
+    Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt)
+      .awaitTermination()
+    val batch1 = tripleSet(graft.pipeline.KgPipeline.run(DocsGen.docs(g1), lex).toDF())
+    assert(tripleSet(graft.tables.Icebergish.read(spark, outRoot)) == batch1 && batch1.nonEmpty)
+
+    // restart with nothing new: no extra snapshot, same triples
+    val snapBefore = graft.tables.Icebergish.currentSnapshotId(spark, outRoot)
+    Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt)
+      .awaitTermination()
+    assert(graft.tables.Icebergish.currentSnapshotId(spark, outRoot) == snapBefore)
+
+    // wave 2 arrives; only the new files are processed, triples accumulate
+    val g2 = DocsGen.gen(spark, 40, seed = 22)
+    val docs2 = DocsGen.docs(g2).map(d => d.copy(doc_id = d.doc_id + "-w2"))
+    docs2.write.mode("append").parquet(srcDir)
+    Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt)
+      .awaitTermination()
+    val batch2 = tripleSet(graft.pipeline.KgPipeline.run(docs2, lex).toDF())
+    assert(tripleSet(graft.tables.Icebergish.read(spark, outRoot)) == batch1 ++ batch2)
+    lex.unpersist()
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     // file stream sources need a DIRECTORY; stage the events table into one
     val batchEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
