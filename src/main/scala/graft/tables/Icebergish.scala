@@ -213,9 +213,31 @@ object Icebergish {
       reader.parquet(paths: _*)
     }
     if (parts.isEmpty) spark.emptyDataFrame
-    else parts.reduce(_.unionByName(_))
+    // allowMissingColumns: schema evolution — a snapshot written before a
+    // column was added reads as null for that column
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   def exists(spark: SparkSession, root: String): Boolean =
     currentSnapshotId(spark, root).isDefined
+
+  /** Compact the current file set into ONE overwrite snapshot — the
+    * remedy for streaming's small-files problem (every micro-batch append
+    * adds a snapshot whose file count is the shuffle parallelism; after k
+    * batches a read opens k×p files). Readers are unaffected mid-compact
+    * (they hold the old pointer until the atomic flip) and time travel to
+    * pre-compaction snapshots still works: old manifests and data files
+    * are immutable and never deleted here.
+    *
+    * @param targetFiles coalesce width of the rewritten data set
+    * @return the new snapshot id
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      partitionBy: Seq[String] = Nil,
+      targetFiles: Int = 8): Long = {
+    val current = read(spark, root)
+    commit(current.coalesce(targetFiles), root, "overwrite", partitionBy)
+  }
 }

@@ -90,6 +90,47 @@ class TablesResumeSpec extends AnyFunSuite {
     assert(Icebergish.currentSnapshotId(spark, root).contains(s3))
   }
 
+  test("compaction rewrites many small appends into one snapshot; history and time travel survive") {
+    import spark.implicits._
+    val root = tmpDir("icebergish_compact")
+    // simulate streaming: many tiny pred-partitioned appends
+    val preds = Seq("treated_by", "has_finding", "located_in")
+    (0 until 6).foreach { i =>
+      Icebergish.commit(
+        Seq((s"d$i", s"s$i", preds(i % 3), s"o$i")).toDF("doc_id", "subj", "pred", "obj"),
+        root, "append", partitionBy = Seq("pred"))
+    }
+    val sLast = Icebergish.currentSnapshotId(spark, root).get
+    val before = Icebergish.read(spark, root)
+      .select("doc_id", "subj", "pred", "obj").as[(String, String, String, String)].collect().toSet
+    val filesBefore = Icebergish.fileSet(spark, root, sLast).size
+
+    val sc = Icebergish.compact(spark, root, partitionBy = Seq("pred"), targetFiles = 1)
+    val after = Icebergish.read(spark, root)
+      .select("doc_id", "subj", "pred", "obj").as[(String, String, String, String)].collect().toSet
+    assert(after == before)
+    // one coalesced file per partition value instead of one per append
+    val filesAfter = Icebergish.fileSet(spark, root, sc).size
+    assert(filesAfter == preds.size && filesAfter < filesBefore)
+    // compaction is an overwrite: the chain is cut, the manifest walk is O(1)
+    assert(Icebergish.readManifest(spark, root, sc).mode == "overwrite")
+    // pre-compaction time travel intact (old manifests/data are immutable)
+    assert(Icebergish.read(spark, root, Some(sLast))
+      .select("doc_id", "subj", "pred", "obj").as[(String, String, String, String)]
+      .collect().toSet == before)
+  }
+
+  test("schema evolution: a snapshot written before a column existed reads as null for it") {
+    import spark.implicits._
+    val root = tmpDir("icebergish_evolve")
+    Icebergish.commit(Seq((1, "a")).toDF("id", "v"), root)
+    Icebergish.commit(Seq((2, "b", 0.5)).toDF("id", "v", "score"), root, "append")
+    val rows = Icebergish.read(spark, root).select("id", "v", "score")
+      .collect().map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(rows == Set((1, "a", None), (2, "b", Some(0.5))))
+  }
+
   test("resumable run completes all chunks and a restart is a no-op") {
     import spark.implicits._
     val g = DocsGen.gen(spark, 200, seed = 5).cache()
