@@ -79,7 +79,8 @@ object Streaming {
       docs: Dataset[Doc],
       lexicon: Dataset[graft.core.LexiconEntry],
       triplesRoot: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
         val spark = batch.sparkSession
@@ -90,6 +91,16 @@ object Streaming {
           graft.tables.Icebergish.commit(
             triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"))
           cleanup()
+          // bound small-files growth: every `compactEvery` appends, fold
+          // the chain into one coalesced overwrite snapshot (readers are
+          // unaffected — the pointer flip is atomic; old snapshots keep
+          // time-travel access)
+          if (compactEvery > 0) {
+            val bdir = new org.apache.hadoop.fs.Path(s"$triplesRoot/_batches")
+            val appends = (if (fs.exists(bdir)) fs.listStatus(bdir).length else 0) + 1
+            if (appends % compactEvery == 0)
+              graft.tables.Icebergish.compact(spark, triplesRoot, partitionBy = Seq("pred"))
+          }
           fs.create(marker, true).close()
         }
         ()

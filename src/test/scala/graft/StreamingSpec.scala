@@ -101,14 +101,17 @@ class StreamingSpec extends AnyFunSuite {
       .awaitTermination()
     assert(graft.tables.Icebergish.currentSnapshotId(spark, outRoot) == snapBefore)
 
-    // wave 2 arrives; only the new files are processed, triples accumulate
+    // wave 2 arrives; only the new files are processed, triples accumulate;
+    // compactEvery=2 folds the 2-append chain into one overwrite snapshot
     val g2 = DocsGen.gen(spark, 40, seed = 22)
     val docs2 = DocsGen.docs(g2).map(d => d.copy(doc_id = d.doc_id + "-w2"))
     docs2.write.mode("append").parquet(srcDir)
-    Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt)
+    Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt, compactEvery = 2)
       .awaitTermination()
     val batch2 = tripleSet(graft.pipeline.KgPipeline.run(docs2, lex).toDF())
     assert(tripleSet(graft.tables.Icebergish.read(spark, outRoot)) == batch1 ++ batch2)
+    val cur = graft.tables.Icebergish.currentSnapshotId(spark, outRoot).get
+    assert(graft.tables.Icebergish.readManifest(spark, outRoot, cur).mode == "overwrite")
     lex.unpersist()
   }
 
