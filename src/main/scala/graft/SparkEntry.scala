@@ -350,6 +350,31 @@ object SparkEntry {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
     }),
+    "q_events_sessionize" -> ((s, dir) => {
+      // classic sessionization: per-user 30-min-gap sessions. The windows
+      // are PARTITIONED by user (bounded per-user sort — the legitimate
+      // window-function shape, unlike a global rank); gap arithmetic is
+      // microsecond-exact (unix_micros) so Spark and DuckDB agree on
+      // boundary gaps regardless of fractional seconds.
+      val e = s.read.parquet(t(dir, "events"))
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = e
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          max("n_events").as("longest_session"))
+        .orderBy("user_id")
+    }),
     "streaming_dedup_exact" -> ((s, dir) => {
       // STATEFUL streaming exact-dedup driven to completion: the documents
       // table as a one-trigger AvailableNow file stream through
@@ -544,6 +569,23 @@ object SparkEntry {
         |r AS (SELECT source, doc_id, qs,
         |        row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC) AS rn FROM q)
         |SELECT source, doc_id AS best_doc_id, qs AS best_quality FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |            > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o),
+        |g AS (SELECT user_id, sess_id, count(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(n_events) AS BIGINT) AS longest_session
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "streaming_dedup_exact" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS text_md5 FROM (
         |  SELECT doc_id, text,

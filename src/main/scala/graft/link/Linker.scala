@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   *
   *   mentions --explode blocking keys--> (key, mention)
   *       ⋈ broadcast(lexicon keyed the same way)        [J1+J2]
-  *       --score: exact-surface boost + dot(ctx_emb, concept_emb)  [UDF]
-  *       --row_number over (mention) ordered by score desc --> best
+  *       --score: exact-surface boost + dot(ctx_emb, concept_emb)
+  *       --min_by argmax per mention (partial agg, no window) --> best
   *
-  * The lexicon side is always broadcast (small by contract); the mention
-  * side never shuffles for the join, only for the per-mention argmax —
-  * and that argmax window is partitioned by the mention key so it scales
-  * with mentions, no skew (every mention has ≤ a few dozen candidates).
+  * The lexicon side is broadcast in the default path (small by contract —
+  * `Lexicon.prune`/`quantize` exist to keep it so); when it outgrows the
+  * broadcast budget anyway, [[surfaceResolutionLargeLexicon]] reverses
+  * the build side: the vocabulary-bounded surface set broadcasts against
+  * the DISTRIBUTED lexicon. The mention table itself never shuffles for
+  * the join in either regime.
   */
 object Linker {
 
@@ -135,6 +137,47 @@ object Linker {
     }
     link(asMentions, lexicon).toDF()
       .select($"text", $"entity_type", $"concept_id", $"link_score")
+  }
+
+  /** Resolution for lexicons TOO LARGE to broadcast (a full UMLS-scale
+    * concept table with embeddings can exceed any executor's broadcast
+    * budget even int8-quantized): reverse the build side. The distinct
+    * surface set is vocabulary-bounded and tiny, so it broadcasts against
+    * the DISTRIBUTED lexicon for the candidate inner join; the argmax
+    * shuffles only (surface, candidate) pairs — bounded by candidates per
+    * surface, never by lexicon size — and surfaces with no candidate pick
+    * up the `S:` fallback through a final small left join. Output is
+    * identical to [[surfaceResolution]] (equality-tested).
+    */
+  def surfaceResolutionLargeLexicon(
+      surfaces: Dataset[(String, String)], // (text, entity_type)
+      lexicon: Dataset[LexiconEntry]): DataFrame = {
+    val spark = surfaces.sparkSession
+    import spark.implicits._
+    val m = surfaces.toDF("text", "entity_type")
+      .withColumn("ctx_emb", ctxEmbUdf($"text"))
+      .withColumn("mkey", explode(blockingKeysUdf($"text")))
+    val lex = lexicon
+      .withColumn("bkey", explode(blockingKeysUdf($"surface")))
+      .select($"bkey", $"concept_id", $"surface", $"entity_type".as("lex_type"), $"embedding")
+    val candidates = lex
+      .join(broadcast(m), lex("bkey") === m("mkey") && lex("lex_type") === m("entity_type"))
+      .withColumn(
+        "link_score",
+        when($"surface" === $"text", lit(10.0)).otherwise(lit(0.0)) +
+          graft.functions.VecDot.vec_dot($"ctx_emb", $"embedding"))
+    val best = candidates
+      .groupBy($"text", $"entity_type")
+      .agg(min_by(
+        struct($"concept_id", $"link_score"),
+        struct((-$"link_score").as("neg_score"), $"concept_id".as("tie"))).as("best"))
+      .select($"text", $"entity_type",
+        $"best.concept_id".as("concept_id"), $"best.link_score".as("link_score"))
+    surfaces.toDF("text", "entity_type")
+      .join(best, Seq("text", "entity_type"), "left")
+      .select($"text", $"entity_type",
+        coalesce($"concept_id", concat(lit("S:"), $"text")).as("concept_id"),
+        coalesce($"link_score", lit(0.0)).as("link_score"))
   }
 
   /** Scale path used by the pipeline: dedup surfaces (map-side combine

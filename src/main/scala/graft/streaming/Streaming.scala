@@ -120,24 +120,56 @@ object Streaming {
     * per distinct text in the state store (checkpointed with the query, so
     * dedup survives restarts). Within a micro-batch the min doc_id wins,
     * matching the batch operator's keep-smallest-id tie-break. State is
-    * O(#distinct texts) longs — the smallest possible exact-dedup state;
-    * for unbounded corpora, swap the boolean for a TTL timeout
-    * (`GroupStateTimeout.ProcessingTimeTimeout`) to bound the store.
+    * O(#distinct texts) longs — the smallest possible exact-dedup state.
+    *
+    * @param stateTtl optional processing-time TTL (e.g. "30 days"): for
+    *   UNBOUNDED corpora, each text hash is forgotten that long after its
+    *   last sighting, bounding the store to the active window (a
+    *   re-arrival after the TTL is emitted again — the standard
+    *   windowed-dedup trade-off). Default: exact dedup, unbounded state.
+    *   TTL mode is for CONTINUOUS triggers (`Trigger.ProcessingTime`):
+    *   under `Trigger.AvailableNow` pending timers keep the drain alive
+    *   past the available data (observed: the engine schedules extra
+    *   micro-batches to fire them), so the transition logic is unit-tested
+    *   through `TestGroupState` rather than a drained stream.
     */
-  def dedupExactStream(docs: Dataset[DocText]): Dataset[DocText] = {
+  def dedupExactStream(docs: Dataset[DocText], stateTtl: Option[String] = None): Dataset[DocText] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .groupByKey(d => graft.core.Hashing.hashString(if (d.text == null) "" else d.text))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: Long, rows: Iterator[DocText], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            rows.reduceOption((a, b) => if (a.doc_id <= b.doc_id) a else b).iterator
-          }
+          dedupStep(rows, state, stateTtl)
       }
   }
+
+  /** One `flatMapGroupsWithState` transition of the streaming dedup —
+    * extracted so the TTL state machine is unit-testable with
+    * `TestGroupState` (a live AvailableNow drain cannot exercise timer
+    * expiry, see [[dedupExactStream]]).
+    */
+  private[graft] def dedupStep(
+      rows: Iterator[DocText],
+      state: GroupState[Boolean],
+      stateTtl: Option[String]): Iterator[DocText] =
+    if (state.hasTimedOut) {
+      // TTL expiry: forget this text hash — the state store stays bounded
+      // on unbounded corpora (a re-arrival after the TTL is emitted again,
+      // the standard windowed-dedup trade-off)
+      state.remove()
+      Iterator.empty
+    } else if (state.exists) {
+      stateTtl.foreach(state.setTimeoutDuration) // refresh the TTL
+      Iterator.empty
+    } else {
+      state.update(true)
+      stateTtl.foreach(state.setTimeoutDuration)
+      rows.reduceOption((a, b) => if (a.doc_id <= b.doc_id) a else b).iterator
+    }
 
   /** Watermarked sliding-window aggregation over an event stream — the
     * standard streaming-agg shape (used on the `events` table for engine

@@ -19,6 +19,29 @@ class Round2Spec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("large-lexicon resolution (broadcast surfaces, distributed lexicon) equals the broadcast-lexicon path") {
+    import spark.implicits._
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
+    val fromVocab = DocsGen.vocabEntries.take(40).map { case (s, t) => (s, t) }
+    val surfaces = (fromVocab ++ Seq(
+      ("", "Diseases"), // empty surface → sentinel key → S: fallback
+      ("完全未知表面", "Diseases"), // unknown surface, plausible blocking key
+      ("胃", "Anatomy")
+    )).toDS()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("link_score", round(col("link_score"), 6))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    val small = norm(Linker.surfaceResolution(surfaces, lex))
+    val large = norm(Linker.surfaceResolutionLargeLexicon(surfaces, lex))
+    assert(large == small && large.nonEmpty)
+    // the build side is REVERSED: the broadcast feeds the surface set, the
+    // lexicon streams (BuildRight — surfaces are the join's right operand)
+    val p = Linker.surfaceResolutionLargeLexicon(surfaces, lex)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+      "surface set is not the broadcast build side")
+  }
+
   test("lshTopK recall@5 >= 0.8 vs bruteForceTopK on the sf embeddings") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)

@@ -77,6 +77,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(outSet() == Set(("d1", "alpha text"), ("d3", "beta text"), ("d4", "gamma text")))
   }
 
+  test("TTL-bounded dedup state machine: first-wins, TTL refresh, expiry forgets, re-arrival re-emits") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = Some("1 hours")
+    def rows(ids: String*) = ids.iterator.map(id => Streaming.DocText(id, "alpha"))
+    def freshState(init: Option[Boolean], timedOut: Boolean) =
+      TestGroupState.create[Boolean](
+        optionalState = init.map(org.apache.spark.api.java.Optional.of[Boolean])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Boolean]()),
+        timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = timedOut)
+
+    // 1) first sighting: min doc_id emitted, state set, TTL armed
+    val s1 = freshState(None, timedOut = false)
+    assert(Streaming.dedupStep(rows("d2", "d1"), s1, ttl).toSeq.map(_.doc_id) == Seq("d1"))
+    assert(s1.exists && s1.getTimeoutTimestampMs.isPresent)
+
+    // 2) duplicate while state lives: suppressed, TTL refreshed
+    val s2 = freshState(Some(true), timedOut = false)
+    assert(Streaming.dedupStep(rows("d9"), s2, ttl).isEmpty)
+    assert(s2.exists && s2.getTimeoutTimestampMs.isPresent)
+
+    // 3) timer fires (no data for the group): state forgotten
+    val s3 = freshState(Some(true), timedOut = true)
+    assert(Streaming.dedupStep(Iterator.empty, s3, ttl).isEmpty)
+    assert(s3.isRemoved)
+
+    // 4) re-arrival after expiry: emitted again (windowed-dedup semantics)
+    val s4 = freshState(None, timedOut = false)
+    assert(Streaming.dedupStep(rows("d9"), s4, ttl).toSeq.map(_.doc_id) == Seq("d9"))
+
+    // no-TTL mode never arms a timer (AvailableNow-safe)
+    val s5 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.empty[Boolean](), GroupStateTimeout.NoTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    assert(Streaming.dedupStep(rows("d1"), s5, None).toSeq.map(_.doc_id) == Seq("d1"))
+    assert(!s5.getTimeoutTimestampMs.isPresent)
+  }
+
   test("end-to-end streaming KG construction is incremental, idempotent, and equals the batch pipeline") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("kg_stream").toString
