@@ -88,6 +88,19 @@ object SparkEntry {
         .distinct()
       graft.canon.Canon.connectedComponents(edges).orderBy("node")
     }),
+    "kg_components_general" -> ((s, dir) => {
+      // SAME edges as kg_components but with the driver union-find
+      // DISABLED (driverMaxEdges = 0): the large-star/small-star
+      // contraction loop — the 100 TB general-graph path — now carries
+      // its own DRIVER-level oracle, not just the sbt equivalence sweep.
+      val (_, docs) = goldAndDocs(s, dir)
+      val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      val linked = Linker.link(mentions, lexicon(s))
+      val edges = linked.toDF()
+        .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
+        .distinct()
+      graft.canon.Canon.connectedComponents(edges, driverMaxEdges = 0L).orderBy("node")
+    }),
     "kg_span_metrics" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
       val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
@@ -626,6 +639,18 @@ object SparkEntry {
          |JOIN lex l ON m.text = l.surface AND m.entity_type = l.entity_type
          |ORDER BY m.doc_id, m.span_idx, m."start"""".stripMargin,
     "kg_components" ->
+      s"""WITH $lexCte,
+         |surf AS (SELECT DISTINCT m.text, l.concept_id
+         |         FROM ${fx("gold_mentions")} m
+         |         JOIN lex l ON m.text = l.surface AND m.entity_type = l.entity_type),
+         |nodes AS (
+         |  SELECT concept_id AS node, concept_id AS component FROM surf
+         |  UNION
+         |  SELECT 'S:' || text AS node, concept_id AS component FROM surf)
+         |SELECT node, component FROM nodes ORDER BY node""".stripMargin,
+    // component labels are path-independent, so the forced-contraction
+    // query shares kg_components' oracle verbatim
+    "kg_components_general" ->
       s"""WITH $lexCte,
          |surf AS (SELECT DISTINCT m.text, l.concept_id
          |         FROM ${fx("gold_mentions")} m
