@@ -101,6 +101,13 @@ object SparkEntry {
         .distinct()
       graft.canon.Canon.connectedComponents(edges, driverMaxEdges = 0L).orderBy("node")
     }),
+    "kg_degree" -> ((s, dir) => {
+      // graph analytics over the CONSTRUCTED KG: node degrees of the
+      // concept-level edge set — one shuffle, partial agg (GraphOps)
+      val (_, docs) = goldAndDocs(s, dir)
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+      graft.graph.GraphOps.degrees(triples).orderBy("node")
+    }),
     "kg_span_metrics" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
       val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
@@ -674,6 +681,23 @@ object SparkEntry {
          |FROM m a JOIN m b ON a.doc_id = b.doc_id
          |JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "kg_degree" ->
+      s"""WITH $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |r(st, ot, pred) AS (VALUES
+         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
+         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
+         |  ('Diseases','Operation','treated_with')),
+         |t AS (SELECT DISTINCT a.concept_id AS subj, b.concept_id AS obj
+         |      FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
+         |d AS (SELECT subj AS node, 1 AS out_e, 0 AS in_e FROM t
+         |      UNION ALL SELECT obj, 0, 1 FROM t)
+         |SELECT node, CAST(sum(out_e) AS BIGINT) AS out_degree,
+         |  CAST(sum(in_e) AS BIGINT) AS in_degree, count(*) AS degree
+         |FROM d GROUP BY node ORDER BY node""".stripMargin,
     "kg_span_metrics" ->
       s"""WITH c AS (
          |  SELECT entity_type, count(*) AS n FROM (
