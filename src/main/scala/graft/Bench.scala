@@ -23,7 +23,8 @@ object Bench {
     "q_ann_brute_topk",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard_pairs",
-    "q_docs_quality"
+    "q_docs_quality",
+    "q_events_sessionize"
   )
 
   def main(args: Array[String]): Unit = {
