@@ -64,16 +64,23 @@ object GraphOps {
         .join(outDeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("od")).as("c"))
+      // EAGER checkpoint: unlike the CC loop (whose per-round checksum is
+      // an action that materializes a lazy checkpoint), this loop has no
+      // per-round action — a lazy checkpoint would defer the whole
+      // iteration tower to the final action and the optimizer would
+      // analyze an O(iters)-deep join plan. Eager = one bounded job per
+      // round and a constant-depth plan, the iterative-DataFrame norm.
       ranks = nodes
         .join(contribs.groupBy("node").agg(sum(col("c")).as("s")), Seq("node"), "left")
         .select(
           col("node"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = false) // truncate lineage, materialize on next use
+        .localCheckpoint()
       iter += 1
     }
-    val result = ranks.localCheckpoint() // eager: caches below can release
+    // the last round's eager checkpoint already cut every reference to
+    // the cached inputs, so they can release immediately
     e.unpersist(); outDeg.unpersist(); nodes.unpersist()
-    result
+    ranks
   }
 }
