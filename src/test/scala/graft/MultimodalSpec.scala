@@ -49,6 +49,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.meta.format == "fake-h264" && d.meta.frames > 0)
   }
 
+  test("frame sampling strides video frames deterministically and skips frameless media") {
+    import spark.implicits._
+    val docs = DocsGen.docs(DocsGen.gen(spark, 200, seed = 12L))
+    val decoded = Multimodal.decode(Multimodal.mediaTable(docs))
+    val frames = Multimodal.sampleFrames(decoded, stride = 8, maxFrames = 16)
+      .as[(String, Int, String, Int)].collect()
+    assert(frames.nonEmpty)
+    // every sampled index is a stride multiple below the media's frame count
+    val frameCounts = decoded.collect()
+      .map(d => (d.doc_id, d.span_idx) -> d.meta.frames).toMap
+    frames.foreach { case (docId, spanIdx, _, idx) =>
+      assert(idx % 8 == 0 && idx < frameCounts((docId, spanIdx)))
+    }
+    // at most maxFrames per media item; frameless media (audio/images with
+    // frames<=1 carry no video frames... images have frames=1) contribute
+    // only their in-range indices
+    val perItem = frames.groupBy(f => (f._1, f._2)).values.map(_.length)
+    assert(perItem.max <= 16)
+  }
+
   test("distributed batched decode equals the local per-item decode over the docs media table") {
     import spark.implicits._
     val docs = DocsGen.docs(DocsGen.gen(spark, 150, seed = 11L))
