@@ -227,6 +227,12 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score")
         .orderBy("doc_id")
     }),
+    "q_docs_perplexity" -> ((s, dir) => {
+      // perplexity-style quality filter: corpus-estimated char-bigram LM
+      // cross-entropy per document (TextAnalysis.charBigramCrossEntropy)
+      TextAnalysis.charBigramCrossEntropy(s.read.parquet(t(dir, "documents")))
+        .orderBy("doc_id")
+    }),
     "q_docs_lang_dist" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
         .groupBy("lang").agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"))
@@ -570,6 +576,20 @@ object SparkEntry {
         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
         |          / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_perplexity" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS b
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text), 1))) AS i
+        |        FROM documents)),
+        |cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+        |pre AS (SELECT substr(b, 1, 1) AS c1, sum(c) AS cp FROM cnt GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM pre),
+        |sc AS (
+        |  SELECT bg.doc_id, -avg(ln((cnt.c + 1.0) / (pre.cp + v.v))) AS ce
+        |  FROM bg JOIN cnt USING (b) JOIN pre ON substr(bg.b, 1, 1) = pre.c1 CROSS JOIN v
+        |  GROUP BY bg.doc_id)
+        |SELECT d.doc_id, round(coalesce(sc.ce, 0), 4) AS char_entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_docs_lang_dist" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

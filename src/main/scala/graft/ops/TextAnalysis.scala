@@ -57,6 +57,47 @@ object TextAnalysis {
     */
   val FingerprintMod: Long = (1L << 61) - 1
 
+  /** Perplexity-style quality signal: per-document CHAR-BIGRAM
+    * cross-entropy under a language model estimated from the corpus
+    * itself — the standard "does this look like the rest of the data"
+    * filter for training corpora (boilerplate, encoding garbage, and
+    * wrong-language documents score high). Fully relational and
+    * codegen-friendly:
+    *
+    *   bigrams  = explode(transform(sequence(...), i -> substring(text,i,2)))
+    *   model    = conditional P(c2|c1) with add-1 smoothing over the
+    *              observed prefix alphabet V:
+    *              P = (count(c1c2)+1) / (prefixCount(c1)+V)
+    *   score(d) = -mean(ln P) over d's bigrams (0 for texts shorter than 2)
+    *
+    * The count tables are alphabet-bounded (≤ |Σ|²) regardless of corpus
+    * size, so the scoring join broadcasts; the only data-sized shuffles
+    * are the count aggregation and the per-doc mean — both partial-agg.
+    */
+  def charBigramCrossEntropy(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // filter to true 2-char windows: Spark's sequence(1, 0) is DESCENDING
+    // [1, 0] (not empty), so texts shorter than 2 chars would otherwise
+    // produce phantom single-char "bigrams"
+    val bg = df.select(
+      col(idCol),
+      explode(expr(
+        s"filter(transform(sequence(1, greatest(length($textCol) - 1, 0)), " +
+          s"i -> substring($textCol, i, 2)), b -> length(b) = 2)"))
+        .as("b"))
+    val cnt = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val pre = cnt.groupBy(substring(col("b"), 1, 1).as("c1")).agg(sum(col("c")).as("cp"))
+    val v = pre.agg(count(lit(1)).as("v"))
+    val scored = bg
+      .join(broadcast(cnt), "b")
+      .join(broadcast(pre), substring(col("b"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg((-avg(log((col("c") + 1.0) / (col("cp") + col("v"))))).as("ce"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("ce"), lit(0.0)), 4).as("char_entropy"))
+  }
+
   def fingerprint(text: String): Long = {
     var h = 0L
     var i = 0

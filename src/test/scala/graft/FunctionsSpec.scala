@@ -47,6 +47,21 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char-bigram cross-entropy ranks in-distribution text below garbage and handles short texts") {
+    import spark.implicits._
+    // 20 docs sharing a repetitive in-distribution phrase, one random-noise
+    // doc, one single-char doc (no bigrams → score 0)
+    val normal = (0 until 20).map(i => (i.toLong, "患者出现发热症状 患者出现咳嗽症状"))
+    val noise = Seq((97L, "q7#zK!m9@xW2$vB8&nR4*pT6"))
+    val short = Seq((98L, "x"))
+    val df = (normal ++ noise ++ short).toDF("doc_id", "text")
+    val scores = graft.ops.TextAnalysis.charBigramCrossEntropy(df)
+      .as[(Long, Double)].collect().toMap
+    assert(scores(98L) == 0.0)
+    assert(scores(0L) < scores(97L), s"in-distribution ${scores(0L)} should score below noise ${scores(97L)}")
+    assert(scores.values.forall(v => v >= 0.0 && !v.isNaN))
+  }
+
   test("cleanEntityNameCol column chain is equivalent to the scala reference implementation") {
     import spark.implicits._
     // adversarial cases + seeded random strings over a mixed alphabet
