@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   *   4. appends the triples as ONE Icebergish snapshot (atomic commit),
   *   5. appends a ChunkProgress row (counts, wall time, lineage hash).
   *
-  * A restart reads the progress table and skips completed chunks; a crash
-  * between (4) and (5) re-runs one chunk, whose snapshot is superseded —
-  * consumers read `triples` via the manifest chain, and `dedupe` on
-  * (chunk) can be layered if exactly-once matters downstream.
+  * A restart reads the progress table AND the triples table's committed
+  * chunk tags (the tag rides in the snapshot manifest — transactional
+  * with the atomic pointer flip) and skips completed chunks. A crash
+  * between (4) and (5) therefore does NOT re-append the chunk's triples:
+  * the tag proves the data commit; the restart synthesizes the missing
+  * progress row (recomputed count + lineage hash, triples count from the
+  * tagged manifest) so the lineage table stays complete. Exactly-once
+  * end-to-end.
   */
 object Resumable {
 
@@ -87,12 +91,39 @@ object Resumable {
     import spark.implicits._
 
     val staging = stagingDir.getOrElse(s"$progressRoot/_staging")
-    val done = completedChunks(spark, progressRoot)
+    val progressed = completedChunks(spark, progressRoot)
+    // chunks whose DATA commit succeeded (manifest tag) but whose progress
+    // row is missing — the crash-between-commit-and-progress window
+    val tagRows: Map[Int, Long] =
+      if (!Icebergish.exists(spark, triplesRoot)) Map.empty
+      else Icebergish.tagRows(spark, triplesRoot).collect {
+        case (t, rows) if t.startsWith("chunk-") => t.stripPrefix("chunk-").toInt -> rows
+      }
+    val done = progressed ++ tagRows.keySet
     val out = Seq.newBuilder[ChunkProgress]
     var executed = 0
 
     val todo = (0 until nChunks).filterNot(done)
-    if (todo.nonEmpty) stageByChunk(docs, nChunks, staging)
+    val recover = tagRows.keySet.diff(progressed).toSeq.sorted
+    if (todo.nonEmpty || recover.nonEmpty) stageByChunk(docs, nChunks, staging)
+
+    // heal the lineage table for tag-committed chunks: recompute the input
+    // stats from the staged chunk, take the triple count from the tagged
+    // manifest, and write the progress row the crash swallowed
+    recover.foreach { chunk =>
+      val statsRow = KgPipeline.spanSignature(stagedChunk(spark, staging, chunk).toDF())
+        .agg(
+          count(lit(1)).as("n"),
+          sum(xxhash64(col("doc_id"), col("span_sig")).cast("decimal(38,0)")).as("h"))
+        .head()
+      val inputHash = statsRow.getDecimal(1)
+      val progress = ChunkProgress(
+        runId, chunk, statsRow.getLong(0), -1L, tagRows(chunk), 0L,
+        if (inputHash == null) 0L else inputHash.longValue(),
+        java.time.Instant.now().toString)
+      Icebergish.commit(Seq(progress).toDS().toDF(), progressRoot, "append")
+      out += progress
+    }
 
     todo.foreach { chunk =>
       if (executed >= failAfterChunks) throw new RuntimeException(s"injected failure before chunk $chunk")
@@ -116,8 +147,11 @@ object Resumable {
       val nTriples = triples.count()
       cleanup() // pipeline-internal caches released per chunk
       // pred-partitioned append: the resumable sink produces the same
-      // partitioned-graph-table shape as the batch iceberg: sink
-      Icebergish.commit(triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"))
+      // partitioned-graph-table shape as the batch iceberg: sink. The
+      // chunk id rides as the manifest's idempotence tag — a crash before
+      // the progress write below cannot cause a duplicate re-append.
+      Icebergish.commit(triples.toDF(), triplesRoot, "append",
+        partitionBy = Seq("pred"), tag = Some(s"chunk-$chunk"))
       val wallMs = (System.nanoTime() - t0) / 1000000
       val progress = ChunkProgress(
         runId, chunk, nDocs, -1L, nTriples, wallMs,

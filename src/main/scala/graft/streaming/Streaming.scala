@@ -67,9 +67,12 @@ object Streaming {
     * Restart safety: the streaming checkpoint makes each source file
     * processed exactly once, but `foreachBatch` may RE-DELIVER a batch
     * whose side effect already ran (crash between commit and checkpoint
-    * advance). Committed batch ids are therefore tracked as marker files
-    * under `<root>/_batches/`; a re-delivered batch is skipped, making the
-    * append idempotent end-to-end.
+    * advance). The batch id is committed as an idempotence TAG inside the
+    * snapshot manifest — transactional with the atomic pointer flip, so
+    * there is NO window where data is committed but the dedup record is
+    * not. Marker files under `<root>/_batches/` are kept as a fast-path
+    * check (and the append counter for auto-compaction); the manifest
+    * tags are the ground truth a re-delivered batch is checked against.
     *
     * Canonicalization note: concept mapping derives from the
     * vocabulary-bounded surface-resolution table, so canonical ids are
@@ -86,10 +89,13 @@ object Streaming {
         val spark = batch.sparkSession
         val marker = new org.apache.hadoop.fs.Path(s"$triplesRoot/_batches/$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) {
+        val tag = s"batch-$batchId"
+        val done = fs.exists(marker) ||
+          graft.tables.Icebergish.committedTags(spark, triplesRoot).contains(tag)
+        if (!done) {
           val (triples, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(batch, lexicon)
           graft.tables.Icebergish.commit(
-            triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"))
+            triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"), tag = Some(tag))
           cleanup()
           // bound small-files growth: every `compactEvery` appends, fold
           // the chain into one coalesced overwrite snapshot (readers are
@@ -101,8 +107,11 @@ object Streaming {
             if (appends % compactEvery == 0)
               graft.tables.Icebergish.compact(spark, triplesRoot, partitionBy = Seq("pred"))
           }
-          fs.create(marker, true).close()
         }
+        // marker (re)created OUTSIDE the work branch: after a crash between
+        // the tagged commit and this write, the tag skips the re-delivered
+        // work and the marker self-heals for the fast path + append counter
+        if (!fs.exists(marker)) fs.create(marker, true).close()
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -42,7 +42,8 @@ object Icebergish {
       files: Seq[String],
       rows: Long,
       committedAt: String,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      tag: Option[String] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,7 +88,8 @@ object Icebergish {
       m.get("committed_at").toString,
       Option(m.get("partition_by")) // absent in pre-partitioning manifests
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      Option(m.get("tag")).map(_.toString))
   }
 
   /** Effective file set of a snapshot: walk the parent chain until an
@@ -111,18 +113,31 @@ object Icebergish {
     * hive-style (`pred=treated_by/part-...parquet`) and the partition spec
     * is recorded in the manifest — the "partitioned graph table" shape:
     * a reader of one predicate touches only that predicate's files.
+    *
+    * An idempotence `tag` (e.g. a streaming batch id, a resumable chunk
+    * id) rides IN the manifest, so "was this unit of work committed"
+    * becomes transactional with the atomic pointer flip — writers that
+    * track progress in a separate file have a crash window between the
+    * data commit and the progress write; [[committedTags]] closes it.
     */
   def commit(
       df: DataFrame,
       root: String,
       mode: String = "append",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      tag: Option[String] = None): Long = {
     require(mode == "append" || mode == "overwrite")
     val spark = df.sparkSession
     val f = fs(spark, root)
     val parent = currentSnapshotId(spark, root).getOrElse(-1L)
     val id = parent + 1
     val dataDir = new Path(root, s"data/snap-$id")
+
+    // crash recovery: a data dir with NO manifest is uncommitted garbage
+    // (the manifest is always written after the data) — a writer that died
+    // mid-write must not brick every later commit on errorifexists
+    if (f.exists(dataDir) && !f.exists(new Path(root, s"manifests/snap-$id.json")))
+      f.delete(dataDir, true)
 
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -159,6 +174,7 @@ object Icebergish {
     manifest.put("rows", java.lang.Long.valueOf(rows))
     manifest.put("committed_at", java.time.Instant.now().toString)
     if (partitionBy.nonEmpty) manifest.put("partition_by", partitionBy.toList.asJava)
+    tag.foreach(manifest.put("tag", _))
     manifest.put("schema", df.schema.json)
 
     f.mkdirs(new Path(root, "manifests"))
@@ -220,6 +236,34 @@ object Icebergish {
 
   def exists(spark: SparkSession, root: String): Boolean =
     currentSnapshotId(spark, root).isDefined
+
+  /** Every idempotence tag ever committed — ALL manifests are scanned,
+    * not just the current chain, because a compaction's overwrite cuts
+    * the chain while the compacted-away commits' data lives on in the
+    * rewritten snapshot. Manifests are immutable and never deleted, so
+    * this is the ground truth for "has unit-of-work X been committed".
+    */
+  def committedTags(spark: SparkSession, root: String): Set[String] =
+    tagRows(spark, root).keySet
+
+  /** tag → committed row count, over ALL manifests (see [[committedTags]]).
+    * The latest manifest wins a duplicated tag (cannot happen through the
+    * tag-checking writers, but be deterministic anyway).
+    */
+  def tagRows(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    val mDir = new Path(root, "manifests")
+    if (!f.exists(mDir)) Map.empty
+    else f.listStatus(mDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+        n.stripPrefix("snap-").stripSuffix(".json").toLong
+      }
+      .sorted
+      .map(readManifest(spark, root, _))
+      .collect { case s if s.tag.isDefined => s.tag.get -> s.rows }
+      .toMap
+  }
 
   /** Compact the current file set into ONE overwrite snapshot — the
     * remedy for streaming's small-files problem (every micro-batch append

@@ -4,6 +4,7 @@ import graft.checkpoint.Resumable
 import graft.data.{DocsGen, Lexicon}
 import graft.pipeline.KgPipeline
 import graft.tables.Icebergish
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -150,6 +151,39 @@ class TablesResumeSpec extends AnyFunSuite {
     val p2 = Resumable.run(docs, lex, triplesRoot, progressRoot, nChunks = 4, runId = "r2")
     assert(p2.isEmpty)
     assert(Icebergish.read(spark, triplesRoot).count() == total)
+    g.unpersist(); lex.unpersist()
+  }
+
+  test("a crash BETWEEN the triples commit and the progress write neither duplicates nor loses a chunk") {
+    import spark.implicits._
+    val g = DocsGen.gen(spark, 200, seed = 7).cache()
+    val docs = DocsGen.docs(g)
+    val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
+    val triplesRoot = tmpDir("triples3")
+    val progressRoot = tmpDir("progress3")
+
+    // chunks 0 and 1 complete normally, then the run dies
+    intercept[RuntimeException] {
+      Resumable.run(docs, lex, triplesRoot, progressRoot, 4, "r1", failAfterChunks = 2)
+    }
+    // simulate the torn window for chunk 2: its DATA commit (with the
+    // manifest tag) succeeded, the progress write never happened
+    val staged = Resumable.stagedChunk(spark, s"$progressRoot/_staging", 2)
+    val (t2, cleanup2) = KgPipeline.runWithCleanup(staged, lex)
+    Icebergish.commit(t2.toDF().withColumn("chunk", lit(2)), triplesRoot, "append",
+      partitionBy = Seq("pred"), tag = Some("chunk-2"))
+    cleanup2()
+    assert(Resumable.completedChunks(spark, progressRoot) == Set(0, 1)) // progress says 2 is NOT done
+
+    // restart: chunk 2 must NOT re-run (its tag proves the commit); its
+    // progress row is healed; chunk 3 runs normally
+    val resumed = Resumable.run(docs, lex, triplesRoot, progressRoot, 4, "r2")
+    assert(resumed.map(_.chunk).sorted == Seq(2, 3))
+    val healed = resumed.find(_.chunk == 2).get
+    assert(healed.triples == t2.count() && healed.docs > 0 && healed.input_hash != 0L)
+    assert(Resumable.completedChunks(spark, progressRoot) == Set(0, 1, 2, 3))
+    // exactly-once: table total equals a direct full run, no duplication
+    assert(Icebergish.read(spark, triplesRoot).count() == KgPipeline.run(docs, lex).count())
     g.unpersist(); lex.unpersist()
   }
 
