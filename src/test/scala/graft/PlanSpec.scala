@@ -46,6 +46,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "lexicon join degraded to sort-merge")
   }
 
+  test("perplexity scoring joins its alphabet-bounded count tables by broadcast") {
+    val df = SparkEntry.queries("q_docs_perplexity")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "count-table join is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "count-table join degraded to sort-merge")
+  }
+
+  test("sessionization windows are partitioned by user, never global") {
+    val df = SparkEntry.queries("q_events_sessionize")(spark, sf)
+    val p = plan(df)
+    // every Window node must carry the user_id partition spec — a global
+    // (unpartitioned) window would single-task the whole events table
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("user_id")), s"global window found:\n${windows.mkString("\n")}")
+  }
+
   test("detector input is explicitly hash-partitioned by doc_id") {
     val g = DocsGen.gen(spark, 10, seed = 1)
     val mentions = graft.pipeline.KgPipeline.detectMentions(DocsGen.docs(g), DocsGen.vocabEntries)
