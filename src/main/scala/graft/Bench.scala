@@ -49,6 +49,7 @@ object Bench {
     // small relational query AND a tiny end-to-end KG run (~300 docs) so
     // the timed queries measure steady-state throughput, not first-call
     // JVM compilation of the detector/CC/link code paths
+    var warmupFailed = false
     try {
       SparkEntry.queries("q_lineitem_pricing")(spark, sfDir).count()
       val (t, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(
@@ -59,7 +60,14 @@ object Bench {
         })
       t.count(); cleanup()
       spark.catalog.clearCache()
-    } catch { case _: Throwable => }
+    } catch {
+      case e: Throwable =>
+        // fail LOUDLY (r2 VERDICT "What's wrong" #4): a broken warm-up
+        // means the first timed run absorbs JIT cost — mark the JSON so a
+        // distorted bench is never mistaken for a clean one
+        warmupFailed = true
+        System.err.println(s"[bench] WARM-UP FAILED: $e")
+    }
 
     var triples = 0L
     var triplesSec = 0.0
@@ -96,9 +104,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.result().map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (sec = -1) are EXCLUDED from the headline total — a
+    // broken query must not make the benchmark look faster (ADVICE r2)
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val warm = if (warmupFailed) "\"warmup_failed\":true," else ""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cores":$cpus,"runs_per_query":$runs,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warm"queries":$qs,"errors":$errs,"sf":"$sfDir","cores":$cpus,"runs_per_query":$runs,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
     // stdout (raw — build.sbt routes forked output unprefixed) AND a file,
     // so the driver can parse either
     println(line)

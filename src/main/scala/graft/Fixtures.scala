@@ -1,8 +1,7 @@
 package graft
 
-import graft.core.{Bio, Hashing, Sentence}
+import graft.core.Hashing
 import graft.data.DocsGen
-import graft.detect.Detector
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,17 +44,22 @@ object Fixtures {
   val AugSynonyms: Map[String, IndexedSeq[String]] =
     Map("检查" -> IndexedSeq("查验", "检测"), "发现" -> IndexedSeq("查见"))
 
-  /** The detector kernel's per-position confidence at a gazetteer match:
-    * softmax(emissions)[chosen] with emissions {matched: 8, O: 2, rest: 0}.
-    * Measured by RUNNING the kernel on a one-entity probe sentence (not
-    * re-derived from the formula) so the oracle literal tracks the real
-    * emission weights.
+  /** The detector kernel's per-position confidence at a gazetteer match,
+    * in CLOSED FORM — independent of the kernel code, so the driver
+    * oracle catches a kernel regression instead of tracking it (the r2
+    * version MEASURED this by running the kernel under test, making the
+    * confidence column self-referential; r2 VERDICT next-step #1).
+    *
+    * The emission contract (SURVEY §2.3 K2): a gazetteer-matched position
+    * scores {matched label: 8, O-prior: 2, other 11 labels: 0} over the
+    * 13-label vocabulary. softmax at the matched label:
+    *   1 / (1 + e^(2-8) + 11·e^(0-8))
+    * Every position of a matched span gets the same value, so the
+    * span-mean the mention carries equals it too. `KernelGoldenSpec`
+    * asserts the running kernel agrees with this formula.
     */
-  def kernelConfidence(): Double = {
-    val gaz = Detector.Gazetteer(Seq("食管" -> "Anatomical"))
-    val kernel = new Detector.Kernel(gaz, 128)
-    kernel.detect(Sentence("probe", 0, "的食管的")).head.confidence
-  }
+  def kernelConfidence(): Double =
+    1.0 / (1.0 + math.exp(-6.0) + 11.0 * math.exp(-8.0))
 
   /** Stage all fixtures; returns the placeholder substitutions for the
     * oracle SQL ({OUT} → outDir, {CONF} → kernel confidence literal).
@@ -80,6 +84,21 @@ object Fixtures {
     write(sentences
       .flatMap(ts => ts.chars.indices.map(p => (ts.doc_id, ts.span_idx, p, ts.chars(p), ts.tags(p))))
       .toDF("doc_id", "span_idx", "pos", "ch", "tag"), "gold_tags")
+    // ORACLE ASSUMPTION (pinned — r2 VERDICT next-step #7): the star-shaped
+    // kg_components oracle models every component as ONE concept plus its
+    // surfaces, which is valid iff no surface maps to two concepts (a
+    // shared surface would MERGE two stars and the SQL oracle would be
+    // wrong while still matching a wrong CC). Assert the generator
+    // invariant at staging time so a vocab change cannot silently
+    // invalidate the oracle; the genuinely-merged case is exercised in
+    // sbt tests (Round3Spec: shared-surface CC merge vs union-find).
+    locally {
+      val shared = DocsGen.vocabEntries.groupBy(_._1).collect {
+        case (surf, entries) if entries.map(_._2).distinct.size > 1 => surf
+      }
+      require(shared.isEmpty,
+        s"kg_components oracle assumption violated: surfaces mapped to multiple concepts: $shared")
+    }
     write(DocsGen.vocabEntries.toDF("surface", "entity_type"), "vocab")
 
     // ------------------------------------- augmentation (local sequential)

@@ -41,7 +41,11 @@ object Canon {
     *        consume without an exchange. This pipeline's canonicalization
     *        graph is vocabulary-bounded (distinct surfaces ↔ concepts), so
     *        at ANY corpus scale it takes this path; the contraction loop
-    *        below is the general-graph path (forced with 0).
+    *        below is the general-graph path (forced with 0). The default
+    *        is 100k edges ≈ a few MB of driver heap (two short strings per
+    *        row) — safe on a default driver; callers on GENERAL graphs
+    *        whose edge count is data-sized should pass 0 to skip both the
+    *        gating count() job and any driver collect (ADVICE r2).
     * @return DataFrame(node: string, component: string) — component is the
     *         lexicographically smallest node id in the component.
     */
@@ -49,7 +53,7 @@ object Canon {
       edges: DataFrame,
       maxIter: Int = 20,
       saltBuckets: Int = 16,
-      driverMaxEdges: Long = 1000000L): DataFrame = {
+      driverMaxEdges: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
 
     val e0 = edges.select(col("src"), col("dst"))

@@ -76,6 +76,15 @@ object Resumable {
   /** Run (or resume) a full pipeline over the docs table.
     * @param stagingDir where the chunk-partitioned copy of docs lives;
     *                   defaults to `<progressRoot>/_staging`
+    * @param jobId stable identity of the LOGICAL job (docs table →
+    *              triples table), shared by every restart of that job but
+    *              distinct between different jobs writing into the same
+    *              triples table. The chunk idempotence tags are scoped by
+    *              it (`chunk-<jobId>-<n>`), so a second, different
+    *              Resumable job appending into an existing table cannot
+    *              silently match the first job's chunk ordinals and skip
+    *              its own work (ADVICE r2, medium). NOT the per-restart
+    *              `runId` — restarts must see their predecessors' tags.
     * @return per-chunk progress rows of THIS invocation
     */
   def run(
@@ -86,10 +95,12 @@ object Resumable {
       nChunks: Int,
       runId: String,
       failAfterChunks: Int = Int.MaxValue,
-      stagingDir: Option[String] = None): Seq[ChunkProgress] = {
+      stagingDir: Option[String] = None,
+      jobId: String = "kg"): Seq[ChunkProgress] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    val tagPrefix = s"chunk-$jobId-"
     val staging = stagingDir.getOrElse(s"$progressRoot/_staging")
     val progressed = completedChunks(spark, progressRoot)
     // chunks whose DATA commit succeeded (manifest tag) but whose progress
@@ -97,7 +108,7 @@ object Resumable {
     val tagRows: Map[Int, Long] =
       if (!Icebergish.exists(spark, triplesRoot)) Map.empty
       else Icebergish.tagRows(spark, triplesRoot).collect {
-        case (t, rows) if t.startsWith("chunk-") => t.stripPrefix("chunk-").toInt -> rows
+        case (t, rows) if t.startsWith(tagPrefix) => t.stripPrefix(tagPrefix).toInt -> rows
       }
     val done = progressed ++ tagRows.keySet
     val out = Seq.newBuilder[ChunkProgress]
@@ -151,7 +162,7 @@ object Resumable {
       // chunk id rides as the manifest's idempotence tag — a crash before
       // the progress write below cannot cause a duplicate re-append.
       Icebergish.commit(triples.toDF(), triplesRoot, "append",
-        partitionBy = Seq("pred"), tag = Some(s"chunk-$chunk"))
+        partitionBy = Seq("pred"), tag = Some(s"$tagPrefix$chunk"))
       val wallMs = (System.nanoTime() - t0) / 1000000
       val progress = ChunkProgress(
         runId, chunk, nDocs, -1L, nTriples, wallMs,

@@ -20,18 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Collision-hardened identity key for exact dedup: two xxhash64 values
+    * under independent seeds plus the text length. A single 64-bit hash
+    * makes a silent birthday collision — dropping a NON-duplicate —
+    * plausible at ~4B distinct documents (exactly the 100 TB regime);
+    * the widened key pushes that bound past any realistic corpus while
+    * the shuffle still carries ~20 bytes per row, never the text
+    * (r2 VERDICT "What's wrong" #2). Seed column first in the second
+    * hash: xxhash64 is seeded by position, making the two hashes
+    * independent functions of the text.
+    */
+  private[graft] def identityKey(text: Column): Seq[Column] =
+    Seq(xxhash64(text), xxhash64(lit(0x5EED2L), text), length(text))
+
   /** Exact duplicates: groups of identical `textCol` with ≥2 members.
     * Returns (text_hash, n_docs, min_doc_id) — small output, shuffle on
-    * 8-byte hashes with map-side partial aggregation.
+    * the ~20-byte identity key with map-side partial aggregation.
     */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+    exactGroupsByKey(df, identityKey(col(textCol)), idCol)
+
+  private[graft] def exactGroupsByKey(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame =
+    df.groupBy((keys.head.as("text_hash") +: keys.tail): _*)
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+      .select(col("text_hash"), col("n_docs"), col("keep_id"))
 
   /** Exact dedup: keep the smallest id per distinct text. */
-  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    dropExactDuplicatesByKey(df, identityKey(col(textCol)), idCol)
+
+  private[graft] def dropExactDuplicatesByKey(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -182,25 +182,38 @@ object Multimodal {
         MediaMeta(0, 0, nSamples, sampleRate, "wav-pcm16"),
         histFeatures(p, 44, 44 + dataSize))
     } else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+      // header fields are UNTRUSTED (decode dispatches on magic bytes, not
+      // on the claimed kind): validate before they feed any array index —
+      // a negative offset/height or an Int-overflowing width would throw
+      // ArrayIndexOutOfBoundsException and fail the whole task (ADVICE r2).
+      // All arithmetic in Long so hostile widths cannot overflow the check.
       val offset = rdLe32(p, 10)
       val width = rdLe32(p, 18)
       val height = rdLe32(p, 22)
-      val rowBytes = (width * 3 + 3) / 4 * 4
-      // histogram over pixel bytes only: skip the 4-byte row padding
-      val feats = new Array[Float](FeatureDim)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width * 3 && offset + y * rowBytes + x < p.length) {
-          feats((p(offset + y * rowBytes + x) & 0xFF) % FeatureDim) += 1f
-          x += 1
+      val rowBytes = (width.toLong * 3 + 3) / 4 * 4
+      // division-based bound: rowBytes * height can overflow even Long for
+      // hostile 32-bit width × height, so never form that product
+      val avail = p.length.toLong - offset
+      val valid = offset >= 54 && width > 0 && height > 0 &&
+        rowBytes <= avail && height.toLong <= avail / rowBytes
+      if (!valid) decodeStub(item)
+      else {
+        // histogram over pixel bytes only: skip the 4-byte row padding
+        val feats = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width * 3) {
+            feats((p(offset + y * rowBytes.toInt + x) & 0xFF) % FeatureDim) += 1f
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val norm = math.sqrt(feats.map(f => f.toDouble * f).sum).toFloat
+        DecodedMedia(item.doc_id, item.span_idx, item.kind, item.media_ref,
+          MediaMeta(width, height, 1, 0, "bmp24"),
+          if (norm > 0) feats.map(_ / norm) else feats)
       }
-      val norm = math.sqrt(feats.map(f => f.toDouble * f).sum).toFloat
-      DecodedMedia(item.doc_id, item.span_idx, item.kind, item.media_ref,
-        MediaMeta(width, height, 1, 0, "bmp24"),
-        if (norm > 0) feats.map(_ / norm) else feats)
     } else decodeStub(item)
   }
 

@@ -137,12 +137,21 @@ object TextAnalysis {
     "zh" -> Set("的", "了", "在", "是", "和", "有", "不", "人", "这", "中")
   )
 
+  /** Defined evaluation order: ties go to the EARLIEST language here. The
+    * r2 version iterated the `LangProfiles` Map directly, whose 5-entry
+    * hash iteration order is an implementation detail of the Scala
+    * collections — a tie-broken prediction could silently change across
+    * Scala versions (caught by the golden-vector de-circularization).
+    */
+  val LangOrder: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
   def languageId(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val t = " " + text.toLowerCase + " "
     var best = "und"
     var bestScore = 0.0
-    LangProfiles.foreach { case (lang, profile) =>
+    LangOrder.foreach { lang =>
+      val profile = LangProfiles(lang)
       var hits = 0
       profile.foreach { g =>
         var idx = t.indexOf(g)

@@ -8,6 +8,14 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+/** Thrown when a commit loses the race for a snapshot id to another
+  * writer: the loser's staged data directory is removed and the table is
+  * left exactly as the winner committed it. Callers may retry (the retry
+  * re-reads the new current snapshot and commits on top of the winner).
+  */
+final class ConcurrentCommitException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
 /** Iceberg-style snapshot table layer over partitioned Parquet
   * (SURVEY.md §7.0: no Iceberg runtime jar ships in this environment, so
   * the table format is reimplemented minimally — same commit semantics,
@@ -15,25 +23,52 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   * {{{
-  *   <root>/data/snap-<id>/...parquet     immutable data files per commit
-  *   <root>/manifests/snap-<id>.json      snapshot manifest:
-  *       {snapshot, parent, mode, files[], rows, schema, committed_at}
-  *   <root>/current                       pointer file (atomic rename)
+  *   <root>/data/snap-<id>-<nonce>/...parquet   immutable data files per commit
+  *   <root>/manifests/snap-<id>.json            snapshot manifest:
+  *       {snapshot, parent, mode, data_dir, files[], rows, tags{}, schema, ...}
+  *   <root>/current                             pointer file (atomic rename)
   * }}}
   *
   * Guarantees:
-  *  - snapshot isolation: readers resolve `current` once, then read only
-  *    the immutable file set of that snapshot's manifest chain;
-  *  - atomic commit: manifest is fully written before the pointer flips
-  *    (rename is atomic on HDFS/local posix);
+  *  - snapshot isolation: readers resolve the current snapshot once, then
+  *    read only the immutable file set of that snapshot's manifest chain;
+  *  - a COMPLETE MANIFEST IMPLIES VISIBILITY: the manifest is the last
+  *    artifact written before the pointer flip, so [[currentSnapshotId]]
+  *    resolves to max(pointer, max manifest id). A crash in the
+  *    manifest→pointer window leaves no orphan: the next reader/writer
+  *    adopts the completed manifest and the next commit builds on top of
+  *    it (previously such a crash made every later commit collide on the
+  *    orphaned id — permanently bricking the table).
+  *  - optimistic concurrency: each writer stages data under a UNIQUE
+  *    nonce'd directory and then atomically creates `manifests/snap-<id>
+  *    .json` with overwrite=false — the manifest create is the single
+  *    commit point. Two concurrent writers racing for the same id: one
+  *    wins, the loser gets a typed [[ConcurrentCommitException]], deletes
+  *    only its own staged data, and can retry on the winner's snapshot.
+  *    (No writer ever deletes another writer's in-flight files — staged
+  *    dirs are unique, and failed stages are inert garbage for a vacuum.)
   *  - time travel: `read(spark, root, Some(snapshotId))`.
   *
   * Append manifests reference their parent; the effective file set is the
   * union along the parent chain (cut by an `overwrite` manifest).
+  *
+  * Idempotence tags ROLL UP: every manifest carries the accumulated
+  * `tags` map (tag → rows) of its whole history, so [[committedTags]] /
+  * [[tagRows]] read O(1) manifests per lookup instead of scanning every
+  * manifest ever written (the r2 design was O(batches) per lookup and was
+  * called per micro-batch — O(batches²) metadata work over a long-lived
+  * stream). Tags survive compaction because the roll-up accumulates
+  * THROUGH overwrite snapshots, not just along the live file chain.
   */
 object Icebergish {
 
   private val mapper = new ObjectMapper()
+
+  /** Manifest reads since JVM start — lets tests assert the O(1)-reads
+    * contract of the tag roll-up (one manifest read per [[tagRows]] call
+    * on an arbitrarily long snapshot chain).
+    */
+  private[graft] val manifestReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   case class Snapshot(
       id: Long,
@@ -43,37 +78,48 @@ object Icebergish {
       rows: Long,
       committedAt: String,
       partitionBy: Seq[String] = Nil,
-      tag: Option[String] = None)
+      tag: Option[String] = None,
+      dataDir: Option[String] = None, // nonce'd; pre-r3 manifests lack it
+      tags: Option[Map[String, Long]] = None) // rolled-up tag → rows
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def currentSnapshotId(spark: SparkSession, root: String): Option[Long] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "current")
-    if (!f.exists(p)) {
-      // recovery fallback: a crash before the FIRST pointer flip (the only
-      // remaining window — later flips are rename-with-overwrite, atomic)
-      // leaves fully-written manifests with no pointer; resolve to the max
-      // manifest id so readers never fail on a mid-bootstrap table.
-      val mDir = new Path(root, "manifests")
-      if (!f.exists(mDir)) None
-      else {
-        val ids = f.listStatus(mDir).toSeq
-          .map(_.getPath.getName)
-          .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
-            n.stripPrefix("snap-").stripSuffix(".json").toLong
-          }
-        if (ids.isEmpty) None else Some(ids.max)
-      }
-    } else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+  private def maxManifestId(f: FileSystem, root: String): Option[Long] = {
+    val mDir = new Path(root, "manifests")
+    if (!f.exists(mDir)) None
+    else {
+      val ids = f.listStatus(mDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+          n.stripPrefix("snap-").stripSuffix(".json").toLong
+        }
+      if (ids.isEmpty) None else Some(ids.max)
     }
   }
 
+  /** Current snapshot = max(pointer, max manifest id). A fully-written
+    * manifest implies complete data (it is written after the data files),
+    * so a crash between manifest write and pointer flip must RESOLVE to
+    * the manifest, not hide it: the old pointer-only rule left such
+    * commits orphaned, and the next commit would collide on their id and
+    * fail forever (ADVICE r2, high).
+    */
+  def currentSnapshotId(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "current")
+    val fromPointer =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    (fromPointer.toSeq ++ maxManifestId(f, root).toSeq).maxOption
+  }
+
   def readManifest(spark: SparkSession, root: String, id: Long): Snapshot = {
+    manifestReadCount.incrementAndGet()
     val f = fs(spark, root)
     val in = f.open(new Path(root, s"manifests/snap-$id.json"))
     val m =
@@ -89,7 +135,10 @@ object Icebergish {
       Option(m.get("partition_by")) // absent in pre-partitioning manifests
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
         .getOrElse(Nil),
-      Option(m.get("tag")).map(_.toString))
+      Option(m.get("tag")).map(_.toString),
+      Option(m.get("data_dir")).map(_.toString),
+      Option(m.get("tags")).map(_.asInstanceOf[java.util.Map[String, Object]]
+        .asScala.map { case (k, v) => k -> v.toString.toLong }.toMap))
   }
 
   /** Effective file set of a snapshot: walk the parent chain until an
@@ -116,28 +165,42 @@ object Icebergish {
     *
     * An idempotence `tag` (e.g. a streaming batch id, a resumable chunk
     * id) rides IN the manifest, so "was this unit of work committed"
-    * becomes transactional with the atomic pointer flip — writers that
-    * track progress in a separate file have a crash window between the
-    * data commit and the progress write; [[committedTags]] closes it.
+    * becomes transactional with the commit itself — writers that track
+    * progress in a separate file have a crash window between the data
+    * commit and the progress write; [[committedTags]] closes it.
+    *
+    * Concurrency: data stages under a unique nonce'd directory; the
+    * manifest create (overwrite=false, atomic on HDFS/posix) is the
+    * commit point. A writer that loses the id race cleans up its own
+    * staging and throws [[ConcurrentCommitException]] — retry to commit
+    * on top of the winner.
     */
   def commit(
       df: DataFrame,
       root: String,
       mode: String = "append",
       partitionBy: Seq[String] = Nil,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None): Long =
+    commitWithParent(df, root, mode, partitionBy, tag, None)
+
+  /** Test seam: `parentOverride` simulates a writer that resolved its
+    * parent BEFORE a concurrent winner committed (the stale-parent race).
+    */
+  private[graft] def commitWithParent(
+      df: DataFrame,
+      root: String,
+      mode: String,
+      partitionBy: Seq[String],
+      tag: Option[String],
+      parentOverride: Option[Long]): Long = {
     require(mode == "append" || mode == "overwrite")
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val parent = currentSnapshotId(spark, root).getOrElse(-1L)
+    val parent = parentOverride.getOrElse(currentSnapshotId(spark, root).getOrElse(-1L))
     val id = parent + 1
-    val dataDir = new Path(root, s"data/snap-$id")
-
-    // crash recovery: a data dir with NO manifest is uncommitted garbage
-    // (the manifest is always written after the data) — a writer that died
-    // mid-write must not brick every later commit on errorifexists
-    if (f.exists(dataDir) && !f.exists(new Path(root, s"manifests/snap-$id.json")))
-      f.delete(dataDir, true)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDirRel = s"data/snap-$id-$nonce"
+    val dataDir = new Path(root, dataDirRel)
 
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -166,27 +229,52 @@ object Icebergish {
         reader.parquet(paths: _*).count()
       }
 
+    // roll up the idempotence tags: parent's accumulated map + own tag.
+    // Accumulates through overwrites too — compaction must not forget
+    // which units of work were committed.
+    val accTags: Map[String, Long] =
+      (if (parent >= 0) tagRowsAt(spark, root, parent) else Map.empty[String, Long]) ++
+        tag.map(_ -> rows).toMap
+
     val manifest = new java.util.LinkedHashMap[String, Object]()
     manifest.put("snapshot", java.lang.Long.valueOf(id))
     manifest.put("parent", java.lang.Long.valueOf(parent))
     manifest.put("mode", mode)
+    manifest.put("data_dir", dataDirRel)
     manifest.put("files", committed.toList.asJava)
     manifest.put("rows", java.lang.Long.valueOf(rows))
     manifest.put("committed_at", java.time.Instant.now().toString)
     if (partitionBy.nonEmpty) manifest.put("partition_by", partitionBy.toList.asJava)
     tag.foreach(manifest.put("tag", _))
+    if (accTags.nonEmpty) {
+      val tm = new java.util.LinkedHashMap[String, Object]()
+      accTags.toSeq.sortBy(_._1).foreach { case (k, v) => tm.put(k, java.lang.Long.valueOf(v)) }
+      manifest.put("tags", tm)
+    }
     manifest.put("schema", df.schema.json)
 
     f.mkdirs(new Path(root, "manifests"))
     val manifestPath = new Path(root, s"manifests/snap-$id.json")
-    val out = f.create(manifestPath, false)
+    // COMMIT POINT: atomic create-if-absent. A concurrent winner already
+    // holds this id → typed failure, own staging removed, table untouched.
+    val out =
+      try f.create(manifestPath, false)
+      catch {
+        case e: java.io.IOException =>
+          f.delete(dataDir, true)
+          throw new ConcurrentCommitException(
+            s"snapshot $id already committed by a concurrent writer (root=$root); " +
+              "re-read the current snapshot and retry", e)
+      }
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
     finally out.close()
 
     // atomic pointer flip: write tmp, rename OVER the old pointer in one
     // filesystem op (FileContext rename with OVERWRITE — posix rename(2)
     // semantics). The previous delete-then-rename had a window where a
-    // racing reader found no `current` at all (ADVICE r1).
+    // racing reader found no `current` at all (ADVICE r1). A crash BEFORE
+    // this flip is harmless: currentSnapshotId resolves max(pointer,
+    // manifests), so the completed manifest is already visible.
     val tmp = new Path(root, s"current.tmp-$id")
     val o2 = f.create(tmp, true)
     try o2.write(id.toString.getBytes(StandardCharsets.UTF_8))
@@ -199,7 +287,7 @@ object Icebergish {
     id
   }
 
-  /** Read the table at `current` (or a past snapshot: time travel).
+  /** Read the table at the current snapshot (or a past one: time travel).
     *
     * Partitioned snapshots are read with their own `basePath` so the
     * hive partition columns are recovered; snapshots in the chain may mix
@@ -224,7 +312,7 @@ object Icebergish {
       val reader =
         if (s.partitionBy.nonEmpty)
           spark.read.option("basePath",
-            f.makeQualified(new Path(root, s"data/snap-${s.id}")).toString)
+            f.makeQualified(new Path(root, s.dataDir.getOrElse(s"data/snap-${s.id}"))).toString)
         else spark.read
       reader.parquet(paths: _*)
     }
@@ -237,32 +325,45 @@ object Icebergish {
   def exists(spark: SparkSession, root: String): Boolean =
     currentSnapshotId(spark, root).isDefined
 
-  /** Every idempotence tag ever committed — ALL manifests are scanned,
-    * not just the current chain, because a compaction's overwrite cuts
-    * the chain while the compacted-away commits' data lives on in the
-    * rewritten snapshot. Manifests are immutable and never deleted, so
-    * this is the ground truth for "has unit-of-work X been committed".
+  /** Every idempotence tag ever committed — O(1) manifest reads via the
+    * rolled-up `tags` map in the current manifest (see [[tagRows]]).
     */
   def committedTags(spark: SparkSession, root: String): Set[String] =
     tagRows(spark, root).keySet
 
-  /** tag → committed row count, over ALL manifests (see [[committedTags]]).
-    * The latest manifest wins a duplicated tag (cannot happen through the
-    * tag-checking writers, but be deterministic anyway).
+  /** tag → committed row count. Reads ONE manifest when the current
+    * manifest carries the rolled-up `tags` map (every manifest written
+    * since r3 does); falls back to the full-scan of all manifests only
+    * for pre-roll-up tables. The latest manifest wins a duplicated tag.
     */
-  def tagRows(spark: SparkSession, root: String): Map[String, Long] = {
-    val f = fs(spark, root)
-    val mDir = new Path(root, "manifests")
-    if (!f.exists(mDir)) Map.empty
-    else f.listStatus(mDir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
-        n.stripPrefix("snap-").stripSuffix(".json").toLong
-      }
-      .sorted
-      .map(readManifest(spark, root, _))
-      .collect { case s if s.tag.isDefined => s.tag.get -> s.rows }
-      .toMap
+  def tagRows(spark: SparkSession, root: String): Map[String, Long] =
+    currentSnapshotId(spark, root) match {
+      case None => Map.empty
+      case Some(id) => tagRowsAt(spark, root, id)
+    }
+
+  private def tagRowsAt(spark: SparkSession, root: String, id: Long): Map[String, Long] = {
+    val s = readManifest(spark, root, id)
+    s.tags match {
+      case Some(acc) => acc
+      case None =>
+        // legacy manifest (pre-roll-up): ground truth is the full scan of
+        // every manifest ever written (compaction cuts the chain while the
+        // compacted-away commits' data lives on in the rewritten snapshot)
+        val f = fs(spark, root)
+        val mDir = new Path(root, "manifests")
+        if (!f.exists(mDir)) Map.empty
+        else f.listStatus(mDir).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+            n.stripPrefix("snap-").stripSuffix(".json").toLong
+          }
+          .sorted
+          .filter(_ <= id)
+          .map(readManifest(spark, root, _))
+          .collect { case m if m.tag.isDefined => m.tag.get -> m.rows }
+          .toMap
+    }
   }
 
   /** Compact the current file set into ONE overwrite snapshot — the
@@ -271,7 +372,8 @@ object Icebergish {
     * batches a read opens k×p files). Readers are unaffected mid-compact
     * (they hold the old pointer until the atomic flip) and time travel to
     * pre-compaction snapshots still works: old manifests and data files
-    * are immutable and never deleted here.
+    * are immutable and never deleted here. Committed tags survive — the
+    * roll-up accumulates through the overwrite.
     *
     * @param targetFiles coalesce width of the rewritten data set
     * @return the new snapshot id

@@ -1,0 +1,187 @@
+package graft
+
+import graft.core.Hashing
+import graft.ops.{Dedup, Multimodal}
+import graft.streaming.Streaming
+import graft.tables.{ConcurrentCommitException, Icebergish}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-3 hardening: table-layer crash/concurrency semantics, O(1) tag
+  * lookups, writer-scoped streaming idempotence, collision-hardened exact
+  * dedup, and untrusted-header multimodal decode.
+  */
+class Round3Spec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------------------------------- Icebergish
+
+  test("a crash between manifest write and pointer flip leaves no orphan: the manifest is adopted") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_orphan")
+    Icebergish.commit(Seq((1, "a")).toDF("id", "v"), root)
+    val s1 = Icebergish.commit(Seq((2, "b")).toDF("id", "v"), root, "append")
+    assert(s1 == 1L)
+
+    // simulate the torn window: the manifest for snapshot 1 is complete but
+    // the pointer still says 0 (crash before the rename)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(root, "current"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+
+    // complete manifest implies visibility: readers resolve snapshot 1
+    assert(Icebergish.currentSnapshotId(spark, root).contains(1L))
+    assert(Icebergish.read(spark, root).count() == 2)
+    // and the NEXT commit builds on top of the adopted manifest instead of
+    // colliding on id 1 forever (the r2 failure mode)
+    val s2 = Icebergish.commit(Seq((3, "c")).toDF("id", "v"), root, "append")
+    assert(s2 == 2L)
+    assert(Icebergish.read(spark, root).count() == 3)
+  }
+
+  test("concurrent commit: the stale-parent loser fails with a typed error and cleans up only its own staging") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_race")
+    Icebergish.commit(Seq((1, "winner")).toDF("id", "v"), root)
+
+    // a second writer that resolved its parent BEFORE the winner committed
+    // (stale parent -1 → it races for snapshot id 0)
+    intercept[ConcurrentCommitException] {
+      Icebergish.commitWithParent(
+        Seq((2, "loser")).toDF("id", "v"), root, "append", Nil, None, Some(-1L))
+    }
+    // winner's table is untouched; loser's staged data dir was removed
+    assert(Icebergish.currentSnapshotId(spark, root).contains(0L))
+    assert(Icebergish.read(spark, root).as[(Int, String)].collect().toSeq == Seq((1, "winner")))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = f.listStatus(new org.apache.hadoop.fs.Path(root, "data")).map(_.getPath.getName)
+    assert(dataDirs.length == 1 && dataDirs.head.startsWith("snap-0-"))
+    // the loser retries on the winner's snapshot and succeeds
+    val retry = Icebergish.commit(Seq((2, "loser")).toDF("id", "v"), root, "append")
+    assert(retry == 1L)
+    assert(Icebergish.read(spark, root).count() == 2)
+  }
+
+  test("idempotence tags are O(1) manifest reads on a 50-snapshot chain and survive compaction") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_tags")
+    (0 until 50).foreach { i =>
+      Icebergish.commit(Seq((i, s"v$i")).toDF("id", "v"), root, "append", tag = Some(s"t$i"))
+    }
+    val before = Icebergish.manifestReadCount.get()
+    val tags = Icebergish.tagRows(spark, root)
+    val reads = Icebergish.manifestReadCount.get() - before
+    assert(tags.keySet == (0 until 50).map(i => s"t$i").toSet)
+    assert(tags.values.forall(_ == 1L))
+    assert(reads <= 1, s"tag lookup read $reads manifests on a 50-snapshot chain (want 1: the roll-up)")
+
+    // compaction cuts the FILE chain but must not forget committed work
+    Icebergish.compact(spark, root, targetFiles = 1)
+    val afterCompact = Icebergish.committedTags(spark, root)
+    assert((0 until 50).map(i => s"t$i").toSet.subsetOf(afterCompact))
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  test("kgStream fails fast on a fresh checkpoint pointed at a table with this writer's old commits") {
+    import spark.implicits._
+    val srcDir = tmpDir("kg_guard_src")
+    val outRoot = tmpDir("kg_guard_out") + "/triples"
+    val ckpt = tmpDir("kg_guard_ckpt") + "/ckpt"
+    val lex = graft.data.Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+
+    val g = graft.data.DocsGen.gen(spark, 30, seed = 31)
+    graft.data.DocsGen.docs(g).write.mode("append").parquet(srcDir)
+    Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt)
+      .awaitTermination()
+    assert(Icebergish.read(spark, outRoot).count() > 0)
+
+    // deleting the checkpoint and restarting at the SAME path restarts
+    // batch ids at 0 — every batch would silently match an old tag and be
+    // dropped; the guard must refuse instead
+    val f = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val e = intercept[IllegalStateException] {
+      Streaming.kgStream(Streaming.docsStream(spark, srcDir), lex, outRoot, ckpt)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    lex.unpersist()
+  }
+
+  // ------------------------------------------------------- exact-dedup keys
+
+  test("exact dedup survives an engineered first-hash collision (widened identity key)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "bravo!")).toDF("id", "text")
+
+    // sanity on the real key
+    assert(Dedup.dropExactDuplicates(df, "text", "id")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    // mock hasher: the FIRST hash component degenerates to a constant —
+    // i.e. "alpha" and "bravo!" collide on hash1. The widened key (second
+    // independent hash + length) must still keep distinct texts apart.
+    val collidingKey = Seq(lit(0L), xxhash64(lit(0x5EED2L), col("text")), length(col("text")))
+    assert(Dedup.dropExactDuplicatesByKey(df, collidingKey, "id")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val groups = Dedup.exactGroupsByKey(df, collidingKey, "id")
+      .select("n_docs", "keep_id").as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((2L, 1L))) // only the true duplicate pair groups
+  }
+
+  test("streaming exact dedup survives an engineered first-hash collision") {
+    import spark.implicits._
+    val srcDir = tmpDir("dedup_collide_src")
+    Seq(
+      Streaming.DocText("d1", "alpha"),
+      Streaming.DocText("d3", "alpha"), // true duplicate: dropped
+      Streaming.DocText("d2", "bravo!") // hash1-colliding DISTINCT text: kept
+    ).toDS().write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.DocText]].schema)
+      .parquet(srcDir).as[Streaming.DocText]
+    val name = "round3_dedup_collide"
+    val q = Streaming
+      .dedupExactStream(stream,
+        keyOf = d => (0L, Hashing.hashString(d.text, 0x5EED2L), d.text.length))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("dedup_collide_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).select("doc_id").as[String].collect().sorted.toSeq == Seq("d1", "d2"))
+  }
+
+  // ----------------------------------------------------- multimodal headers
+
+  test("malformed BMP headers fall back to the stub instead of crashing the task") {
+    def item(payload: Array[Byte]) =
+      Multimodal.MediaItem("d", 0, "image", "ref", payload)
+    def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    val good = Multimodal.syntheticBmp("ok")
+    assert(Multimodal.decodeItem(item(good)).meta.format == "bmp24")
+
+    // negative pixel-data offset
+    val negOffset = good.clone(); le32(negOffset, 10, -1)
+    assert(Multimodal.decodeItem(item(negOffset)).meta.format == "fake-jpeg")
+    // negative height
+    val negHeight = good.clone(); le32(negHeight, 22, -7)
+    assert(Multimodal.decodeItem(item(negHeight)).meta.format == "fake-jpeg")
+    // width so large that y*rowBytes overflows Int (Long math must catch it)
+    val hugeWidth = good.clone(); le32(hugeWidth, 18, Int.MaxValue); le32(hugeWidth, 22, Int.MaxValue)
+    assert(Multimodal.decodeItem(item(hugeWidth)).meta.format == "fake-jpeg")
+    // claimed size runs past the payload
+    val overrun = good.clone(); le32(overrun, 22, 1 << 20)
+    assert(Multimodal.decodeItem(item(overrun)).meta.format == "fake-jpeg")
+  }
+}

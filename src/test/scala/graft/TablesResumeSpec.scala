@@ -171,7 +171,7 @@ class TablesResumeSpec extends AnyFunSuite {
     val staged = Resumable.stagedChunk(spark, s"$progressRoot/_staging", 2)
     val (t2, cleanup2) = KgPipeline.runWithCleanup(staged, lex)
     Icebergish.commit(t2.toDF().withColumn("chunk", lit(2)), triplesRoot, "append",
-      partitionBy = Seq("pred"), tag = Some("chunk-2"))
+      partitionBy = Seq("pred"), tag = Some("chunk-kg-2"))
     cleanup2()
     assert(Resumable.completedChunks(spark, progressRoot) == Set(0, 1)) // progress says 2 is NOT done
 
