@@ -249,9 +249,12 @@ object Fixtures {
       .withColumn("cosine", round(col("cos_raw"), 6))
       .select("query_id", "neighbor_id", "cosine", "rank"), "expected_ann_lsh")
 
-    // IVF top-k replica: deterministic centroid set + nprobe cells, naive
-    // candidate scan instead of the distributed cell equi-join
-    val cents = Similarity.ivfCentroids(embeddings, 16)
+    // IVF top-k replica: deterministic TRAINED codebook (same k-means
+    // kernel over the same sorted sample — the distributed machinery
+    // replicated here is the sample top-k sort and the cell equi-join,
+    // replaced by a naive candidate scan)
+    val ivfSample = embeddings.sortBy { case (id, _) => (Hashing.mix64(id), id) }.take(4096)
+    val cents = Similarity.kmeansCodebook(ivfSample, 16, 8)
     val cellOf = embeddings.map { case (id, v) => id -> Similarity.nearestCentroids(v, cents, 1)(0) }.toMap
     val ivfRows = embeddings.filter(_._1 < 10).flatMap { case (qid, qv) =>
       val probes = Similarity.nearestCentroids(qv, cents, 12).toSet

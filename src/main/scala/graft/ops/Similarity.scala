@@ -201,14 +201,55 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Deterministic IVF coarse quantizer: the centroid set is the
-    * `nCentroids` corpus vectors with the smallest `xxhash`-style mixed id
-    * — order- and partition-independent (no iterative k-means refinement,
-    * whose float-summation order would make centroids run-dependent; a
-    * refined codebook can be dropped in via the `centroids` overload).
+  /** Deterministic hash-sampled coarse quantizer (FALLBACK path): the
+    * centroid set is the `nCentroids` corpus vectors with the smallest
+    * `mix64`-mixed id — order- and partition-independent. On data without
+    * cluster structure this is as good as anything; on clustered data the
+    * TRAINED codebook ([[kmeansCodebook]], the default in [[ivfTopK]])
+    * gives far better cell balance and recall-per-probe.
     */
   def ivfCentroids(corpus: Seq[(Long, Array[Float])], nCentroids: Int): Array[(Long, Array[Float])] =
     corpus.sortBy { case (id, _) => (Hashing.mix64(id), id) }.take(nCentroids).toArray
+
+  /** Deterministic spherical k-means codebook (r2 VERDICT next-step #3 —
+    * the hash-sampled 16-centroid codebook needed nprobe≈12/16 for recall,
+    * which at 1B vectors is brute force with extra steps).
+    *
+    * Determinism under partitioning: the caller passes a SORTED sample
+    * (mix64-smallest ids — see [[ivfTopK]]), and the loop iterates it in
+    * that order with sequential double summation, so the centroids are
+    * bit-identical regardless of cluster layout or task order. Lloyd
+    * iterations with cosine assignment (ties to the lower cell index);
+    * an emptied cell keeps its previous centroid. Init = the hash-sample
+    * codebook. Centroid ids are the cell indices 0..k-1.
+    */
+  def kmeansCodebook(
+      sample: Seq[(Long, Array[Float])],
+      k: Int,
+      iters: Int): Array[(Long, Array[Float])] = {
+    if (sample.isEmpty || k <= 0) return Array.empty
+    val dim = sample.map(_._2.length).max
+    var cents: Array[(Long, Array[Float])] =
+      ivfCentroids(sample, k).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Int](cents.length)
+      sample.foreach { case (_, v) =>
+        val c = nearestCentroids(v, cents, 1)(0)
+        counts(c) += 1
+        var d = 0
+        val n = math.min(dim, v.length)
+        while (d < n) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else (c.toLong, Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat))
+      }
+      it += 1
+    }
+    cents
+  }
 
   /** Nearest-centroid ids for a vector, by cosine, ties to lower index —
     * shared with the fixture oracle. Returns the `nprobe` best centroid
@@ -233,11 +274,15 @@ object Similarity {
     * One equi-join on the cell id — never an all-pairs product; the
     * centroid table broadcasts (it is tiny by construction).
     *
-    * `nprobe` trades recall vs candidates scanned: clustered real-world
-    * embeddings reach high recall at nprobe ≈ 1-4 of dozens of cells;
-    * UNIFORM random vectors (no cluster structure to exploit) need
+    * The codebook is TRAINED by default: a deterministic sample (the
+    * `sampleSize` mix64-smallest ids — a bounded top-k sort, never the
+    * corpus) is collected and refined with [[kmeansCodebook]]. Sizing
+    * guidance at scale: nCentroids ≈ √n cells with nprobe 1-4 is the
+    * standard IVF operating point for clustered real-world embeddings;
+    * UNIFORM random vectors (no cluster structure to exploit) still need
     * nprobe ≈ 3/4 of the cells for recall ≥ 0.8 — that bound is data-,
-    * not implementation-, driven.
+    * not implementation-, driven. `kmeansIters = 0` falls back to the
+    * raw hash-sample codebook.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -246,20 +291,25 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nprobe: Int = 12): DataFrame = {
+      nprobe: Int = 12,
+      sampleSize: Int = 4096,
+      kmeansIters: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusVecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    // centroid selection is a tiny deterministic sample: collect only the
-    // nCentroids mix64-smallest ids (a bounded top-k sort, not the corpus)
+    // deterministic training sample: the mix64-smallest ids, collected in
+    // sorted order so the driver-side k-means sums floats in a fixed
+    // order — centroids are partition- and run-independent
     val mixUdf = udf((id: Long) => Hashing.mix64(id))
-    val cents = ivfCentroids(
-      corpusVecs.toDF("id", "v")
-        .orderBy(mixUdf(col("id")), col("id"))
-        .limit(nCentroids)
-        .as[(Long, Array[Float])].collect().toSeq, nCentroids)
+    val sample = corpusVecs.toDF("id", "v")
+      .orderBy(mixUdf(col("id")), col("id"))
+      .limit(math.max(nCentroids, sampleSize))
+      .as[(Long, Array[Float])].collect().toSeq
+    val cents =
+      if (kmeansIters > 0) kmeansCodebook(sample, nCentroids, kmeansIters)
+      else ivfCentroids(sample, nCentroids)
     val centsBc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, 1)(0))
     val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, nprobe))
