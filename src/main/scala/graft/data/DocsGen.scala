@@ -51,8 +51,20 @@ object DocsGen {
     sb.toString
   }
 
-  /** Build one document purely from (seed, idx). */
-  def buildDoc(idx: Long, seed: Long): GoldDoc = {
+  /** One fixed hub surface for skew stress: forced into a `hubFrac` share
+    * of documents (the "高血压 in millions of docs" scenario of SURVEY
+    * §4.2 — the skew case the salted CC/assembly paths exist for).
+    */
+  val HubType = "Diseases"
+  val HubSurface = "高血压病"
+
+  /** Build one document purely from (seed, idx).
+    * @param hubFrac probability that the document's first entity is forced
+    *        to the fixed hub surface (0.0 = the unchanged uniform
+    *        generator; any draw is keyed on (seed, idx) so the skewed
+    *        corpus is as partition-independent as the uniform one)
+    */
+  def buildDoc(idx: Long, seed: Long, hubFrac: Double = 0.0): GoldDoc = {
     val h0 = Hashing.hash2(seed, idx)
     val docId = f"doc-$idx%010d"
     val nText = 1 + Hashing.pick(Hashing.mix64(h0 + 1), 3) // 1..3 text spans
@@ -68,6 +80,9 @@ object DocsGen {
     val sentences = Seq.newBuilder[TaggedSentence]
     val mentions = Seq.newBuilder[Mention]
     var mediaK = 0
+    val hubDoc = hubFrac > 0.0 &&
+      Hashing.uniformDouble(Hashing.hash2(h0, 0x4B5EADL)) < hubFrac
+    var hubPlaced = false
 
     for (pos <- 0 until nSpans) {
       if (mediaPos.contains(pos)) {
@@ -82,8 +97,14 @@ object DocsGen {
         sb.append(fillerRun(hs + 2, 2, 8))
         var e = 0
         while (e < nEnts) {
-          val tpe = Types(Hashing.pick(Hashing.mix64(hs + 10 + e), Types.length))
-          val surf = Vocab(tpe)(Hashing.pick(Hashing.mix64(hs + 20 + e), Vocab(tpe).length))
+          val forceHub = hubDoc && !hubPlaced && e == 0
+          if (forceHub) hubPlaced = true
+          val tpe =
+            if (forceHub) HubType
+            else Types(Hashing.pick(Hashing.mix64(hs + 10 + e), Types.length))
+          val surf =
+            if (forceHub) HubSurface
+            else Vocab(tpe)(Hashing.pick(Hashing.mix64(hs + 20 + e), Vocab(tpe).length))
           val start = sb.length
           sb.append(surf)
           ents += ((tpe, surf, start, sb.length))
@@ -103,10 +124,15 @@ object DocsGen {
     GoldDoc(Doc(docId, spans.result()), sentences.result(), mentions.result())
   }
 
-  def gen(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): Dataset[GoldDoc] = {
+  def gen(
+      spark: SparkSession,
+      n: Long,
+      seed: Long = 42L,
+      partitions: Int = 0,
+      hubFrac: Double = 0.0): Dataset[GoldDoc] = {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
-    base.mapPartitions(_.map(i => buildDoc(i, seed)))
+    base.mapPartitions(_.map(i => buildDoc(i, seed, hubFrac)))
   }
 
   def docs(g: Dataset[GoldDoc]): Dataset[Doc] = {

@@ -64,6 +64,31 @@ object Lexicon {
     spark.createDataset(indexed)
   }
 
+  /** Like [[fromSurfaces]] but concept embeddings come from a REAL
+    * embedding TABLE (surface → array<float>), e.g. `spark.read.parquet`
+    * over a precomputed encoder dump — the production shape where concept
+    * vectors are trained artifacts, not hashes (r2 VERDICT next-step #9).
+    * The embedding table is vocabulary-bounded, so it broadcasts for the
+    * join; surfaces missing from the table fall back to the deterministic
+    * hashed embedding at `dim` so the lexicon is always total.
+    */
+  def fromSurfacesWithEmbeddings(
+      surfaces: Dataset[(String, String)],
+      embeddings: Dataset[(String, Array[Float])],
+      dim: Int): Dataset[LexiconEntry] = {
+    val spark = surfaces.sparkSession
+    import spark.implicits._
+    fromSurfaces(surfaces).toDF().drop("embedding")
+      .join(broadcast(embeddings.toDF("surface", "emb")), Seq("surface"), "left")
+      .select($"concept_id", $"surface", $"entity_type", $"emb")
+      .map { r =>
+        val emb =
+          if (r.isNullAt(3)) Hashing.embedding(r.getString(0) + "|" + r.getString(1), dim)
+          else r.getSeq[Float](3).toArray
+        LexiconEntry(r.getString(0), r.getString(1), r.getString(2), emb)
+      }
+  }
+
   /** Frequency-threshold lexicon pruning — the Spark analog of the
     * reference's magnitude pruning (`model_optimization.py:60-84`,
     * SURVEY §4.1): drop entries whose surface occurs fewer than `minCount`

@@ -30,17 +30,19 @@ object Linker {
 
   /** Deterministic context embedding for a mention: hashed char n-grams.
     * Stand-in for an encoder embedding; identical plumbing (array<float>
-    * column, dot-product scoring).
+    * column, dot-product scoring). `dim` must match the lexicon's
+    * embedding dimension when a real embedding table backs the lexicon
+    * (`Lexicon.fromSurfacesWithEmbeddings`).
     */
-  def contextEmbedding(text: String): Array[Float] = {
-    val acc = new Array[Float](EmbeddingDim)
+  def contextEmbedding(text: String, dim: Int = EmbeddingDim): Array[Float] = {
+    val acc = new Array[Float](dim)
     if (text.isEmpty) return acc
     var i = 0
     while (i < text.length) {
       val g2 = text.substring(i, math.min(i + 2, text.length))
       val h = Hashing.hashString(g2, 0x5EED)
       var d = 0
-      while (d < EmbeddingDim) {
+      while (d < dim) {
         acc(d) += (Hashing.uniformDouble(Hashing.mix64(h + d)) * 2 - 1).toFloat
         d += 1
       }
@@ -70,18 +72,21 @@ object Linker {
   }
 
   private val blockingKeysUdf = udf((s: String) => blockingKeys(s))
-  private val ctxEmbUdf = udf((s: String) => contextEmbedding(s))
+  private def ctxEmbUdf(dim: Int) = udf((s: String) => contextEmbedding(s, dim))
 
   /** Link each mention to its best lexicon concept (left join semantics:
     * mentions with no candidate survive with null concept — they feed
     * canonicalization as surface-only nodes).
     */
-  def link(mentions: Dataset[Mention], lexicon: Dataset[LexiconEntry]): Dataset[LinkedMention] = {
+  def link(
+      mentions: Dataset[Mention],
+      lexicon: Dataset[LexiconEntry],
+      ctxDim: Int = EmbeddingDim): Dataset[LinkedMention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
     val m = mentions
-      .withColumn("ctx_emb", ctxEmbUdf($"text"))
+      .withColumn("ctx_emb", ctxEmbUdf(ctxDim)($"text"))
       .withColumn("bkey", explode(blockingKeysUdf($"text")))
 
     val lex = lexicon
@@ -127,7 +132,8 @@ object Linker {
     */
   def surfaceResolution(
       surfaces: Dataset[(String, String)], // (text, entity_type)
-      lexicon: Dataset[LexiconEntry]): DataFrame = {
+      lexicon: Dataset[LexiconEntry],
+      ctxDim: Int = EmbeddingDim): DataFrame = {
     val spark = surfaces.sparkSession
     import spark.implicits._
     // doc_id = the surface text itself so link()'s per-mention argmax key
@@ -135,7 +141,7 @@ object Linker {
     val asMentions = surfaces.map { case (text, tpe) =>
       Mention(text, 0, tpe, text, 0, 0, 1.0)
     }
-    link(asMentions, lexicon).toDF()
+    link(asMentions, lexicon, ctxDim).toDF()
       .select($"text", $"entity_type", $"concept_id", $"link_score")
   }
 
@@ -151,11 +157,12 @@ object Linker {
     */
   def surfaceResolutionLargeLexicon(
       surfaces: Dataset[(String, String)], // (text, entity_type)
-      lexicon: Dataset[LexiconEntry]): DataFrame = {
+      lexicon: Dataset[LexiconEntry],
+      ctxDim: Int = EmbeddingDim): DataFrame = {
     val spark = surfaces.sparkSession
     import spark.implicits._
     val m = surfaces.toDF("text", "entity_type")
-      .withColumn("ctx_emb", ctxEmbUdf($"text"))
+      .withColumn("ctx_emb", ctxEmbUdf(ctxDim)($"text"))
       .withColumn("mkey", explode(blockingKeysUdf($"text")))
     val lex = lexicon
       .withColumn("bkey", explode(blockingKeysUdf($"surface")))
@@ -186,11 +193,14 @@ object Linker {
     * then broadcast-join the resolution back onto mentions. ZERO wide
     * shuffles of the mention table; output identical to `link`.
     */
-  def linkBySurface(mentions: Dataset[Mention], lexicon: Dataset[LexiconEntry]): Dataset[LinkedMention] = {
+  def linkBySurface(
+      mentions: Dataset[Mention],
+      lexicon: Dataset[LexiconEntry],
+      ctxDim: Int = EmbeddingDim): Dataset[LinkedMention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
     val surfaces = mentions.select($"text", $"entity_type").distinct().as[(String, String)]
-    val resolution = surfaceResolution(surfaces, lexicon)
+    val resolution = surfaceResolution(surfaces, lexicon, ctxDim)
     mentions
       .join(broadcast(resolution), Seq("text", "entity_type"), "inner")
       .select(

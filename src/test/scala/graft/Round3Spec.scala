@@ -159,6 +159,23 @@ class Round3Spec extends AnyFunSuite {
     assert(spark.table(name).select("doc_id").as[String].collect().sorted.toSeq == Seq("d1", "d2"))
   }
 
+  // ---------------------------------------------------------- skew generator
+
+  test("hubFrac generator: hubFrac=0 is byte-identical to the r2 generator; hubFrac=0.3 plants the hub") {
+    import graft.data.DocsGen
+    val n = 2000L
+    val base = (0L until n).map(i => DocsGen.buildDoc(i, 42L))
+    val zero = (0L until n).map(i => DocsGen.buildDoc(i, 42L, hubFrac = 0.0))
+    assert(base.map(_.doc) == zero.map(_.doc), "hubFrac=0 must not perturb the generator")
+
+    def hubDocs(g: Seq[DocsGen.GoldDoc]): Int = g.count(_.mentions.exists(m =>
+      m.text == DocsGen.HubSurface && m.entity_type == DocsGen.HubType))
+    val natural = hubDocs(base) / n.toDouble
+    val skewed = hubDocs((0L until n).map(i => DocsGen.buildDoc(i, 42L, hubFrac = 0.3))) / n.toDouble
+    assert(natural < 0.15, s"uniform corpus already hub-heavy: $natural")
+    assert(skewed > 0.28 && skewed < 0.5, s"skewed hub share $skewed not ~0.3+natural")
+  }
+
   // ------------------------------------------------------------ trained IVF
 
   test("trained IVF codebook reaches recall@5 >= 0.8 with nprobe 4 of 64 cells on clustered embeddings") {
@@ -205,6 +222,54 @@ class Round3Spec extends AnyFunSuite {
     val trained = cost(a)
     val hashSample = cost(graft.ops.Similarity.ivfCentroids(sample, 8))
     assert(trained <= hashSample, s"k-means cost $trained worse than hash-sample $hashSample")
+  }
+
+  // ------------------------------------------------- real-embedding lexicon
+
+  test("link path with a REAL 128-dim embedding table from parquet; int8 cuts the broadcast ~4x") {
+    import spark.implicits._
+    import graft.data.{DocsGen, Lexicon}
+    import graft.link.Linker
+    val dim = 128
+    // the "real" table: precomputed concept vectors materialized to parquet
+    // and read back — the production shape where embeddings are trained
+    // artifacts, not hashes (deterministic here so the test is stable)
+    val embDir = tmpDir("lex_emb") + "/emb.parquet"
+    DocsGen.vocabEntries.map { case (surf, _) => (surf, Hashing.embedding("enc|" + surf, dim)) }
+      .toDF("surface", "embedding").write.mode("overwrite").parquet(embDir)
+    val embTable = spark.read.parquet(embDir).as[(String, Array[Float])]
+    val lex128 = Lexicon.fromSurfacesWithEmbeddings(
+      DocsGen.vocabEntries.toDS(), embTable, dim).cache()
+    assert(lex128.collect().forall(_.embedding.length == dim))
+
+    val g = DocsGen.gen(spark, 150, seed = 9)
+    def conceptSet(l: org.apache.spark.sql.Dataset[graft.core.LinkedMention]) =
+      l.collect().map(x => (x.doc_id, x.span_idx, x.start, x.concept_id)).toSet
+    val base = conceptSet(Linker.linkBySurface(
+      DocsGen.goldMentions(g), Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())))
+    val real = conceptSet(Linker.linkBySurface(DocsGen.goldMentions(g), lex128, ctxDim = dim))
+    assert(real == base && real.nonEmpty, "concept assignment changed under the real embedding table")
+
+    // measured broadcast-size cut from int8 quantization at dim 128:
+    // the embedding payload (what quantization targets) shrinks ~4x; the
+    // whole entry less, because the id/surface/type strings are shared
+    val entries = lex128.collect()
+    val qEntries = Lexicon.quantize(lex128).collect()
+    val fullBytes = org.apache.spark.util.SizeEstimator.estimate(entries)
+    val quantBytes = org.apache.spark.util.SizeEstimator.estimate(qEntries)
+    val fullEmb = org.apache.spark.util.SizeEstimator.estimate(entries.map(_.embedding))
+    val quantEmb = org.apache.spark.util.SizeEstimator.estimate(qEntries.map(_.qembedding))
+    info(f"lexicon broadcast at dim=$dim: entries float=$fullBytes%d B int8=$quantBytes%d B " +
+      f"(${fullBytes.toDouble / quantBytes}%.2fx); embedding payload $fullEmb%d B -> $quantEmb%d B " +
+      f"(${fullEmb.toDouble / quantEmb}%.2fx)")
+    assert(fullEmb.toDouble / quantEmb > 3.0, s"int8 payload cut only ${fullEmb.toDouble / quantEmb}x")
+    assert(fullBytes.toDouble / quantBytes > 1.8, s"entry cut only ${fullBytes.toDouble / quantBytes}x")
+
+    // and the quantize→dequantize round trip preserves the assignment
+    val viaQuant = conceptSet(Linker.linkBySurface(
+      DocsGen.goldMentions(g), Lexicon.dequantize(Lexicon.quantize(lex128)), ctxDim = dim))
+    assert(viaQuant == base)
+    lex128.unpersist()
   }
 
   // ----------------------------------------------------- multimodal headers
