@@ -27,7 +27,8 @@ object Main {
       chunks: Int = 8,
       stream: Boolean = false,
       streamKg: Boolean = false,
-      dumpDocs: Boolean = false)
+      dumpDocs: Boolean = false,
+      predict: String = "")
 
   def parse(argv: Array[String]): Args =
     argv.sliding(2, 2).foldLeft(Args()) {
@@ -41,6 +42,7 @@ object Main {
       case (a, Array("--stream", v)) => a.copy(stream = v.toBoolean)
       case (a, Array("--stream-kg", v)) => a.copy(streamKg = v.toBoolean)
       case (a, Array("--dump-docs", v)) => a.copy(dumpDocs = v.toBoolean)
+      case (a, Array("--predict", v)) => a.copy(predict = v)
       case (a, Array(flag, _)) => sys.error(s"unknown flag: $flag"); a
       case (a, _) => a
     }
@@ -63,6 +65,42 @@ object Main {
     import spark.implicits._
 
     val t0 = System.nanoTime()
+    if (args.predict.nonEmpty) {
+      // Prediction mode — the reference's predict_enhanced.py flow
+      // (`:213-499`) over a raw text file instead of an interactive stdin
+      // loop: one sentence per non-blank line (S2 scan), batched detector,
+      // then the requested output format(s) (S5 json / S6 markup / S7 bio)
+      // plus the entity-type distribution report (`:484-499`).
+      require(!args.docs.startsWith("synth:") && !args.docs.startsWith("iceberg:"),
+        "--predict reads a raw text file: --docs <path>")
+      val formats = if (args.predict == "all") Seq("json", "markup", "bio") else Seq(args.predict)
+      require(formats.forall(Set("json", "markup", "bio")),
+        s"--predict takes json|markup|bio|all, got ${args.predict}")
+      val sentences = graft.data.BioCorpus.readRawText(spark, args.docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gazBc = graft.detect.Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)
+      val mentions = graft.detect.Detector.detect(sentences, gazBc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      formats.foreach { fmt =>
+        val (df, column) = fmt match {
+          case "json" => (graft.sinks.Formats.jsonRecords(sentences, mentions), "json")
+          case "markup" => (graft.sinks.Formats.markupText(sentences, mentions), "marked")
+          case "bio" => (graft.sinks.Formats.bioText(sentences, mentions), "bio")
+        }
+        df.orderBy("doc_id").select(column).write.mode("overwrite")
+          .text(s"${args.out}/$fmt")
+      }
+      // entity-type distribution report (A2), like the reference's stdout
+      // summary after prediction
+      val dist = graft.metrics.LabelStats.entityTypeDistribution(mentions).collect()
+      val total = mentions.count()
+      println(s"graft-predict: ${sentences.count()} sentence(s), $total entities " +
+        s"-> ${args.out}/{${formats.mkString(",")}}")
+      dist.foreach(r => println(f"  ${r.getString(0)}%-12s ${r.getLong(1)}%d"))
+      sentences.unpersist(); mentions.unpersist()
+      spark.stop()
+      return
+    }
     val docs = args.docs match {
       case s if s.startsWith("synth:") =>
         DocsGen.docs(DocsGen.gen(spark, s.stripPrefix("synth:").toLong, seed = 42L))

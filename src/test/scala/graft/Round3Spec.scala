@@ -159,6 +159,29 @@ class Round3Spec extends AnyFunSuite {
     assert(spark.table(name).select("doc_id").as[String].collect().sorted.toSeq == Seq("d1", "d2"))
   }
 
+  // ------------------------------------------------------- CC oracle bounds
+
+  test("a surface shared by two concepts MERGES their components — the case the star-shaped oracle excludes") {
+    import spark.implicits._
+    // The driver's kg_components oracle models every component as ONE
+    // concept plus its surfaces, valid because the generator never maps a
+    // surface to two concepts (asserted in Fixtures.stage). This covers
+    // the excluded case: a shared surface must merge the two stars, on
+    // BOTH the driver union-find path and the contraction loop.
+    val edges = Seq(
+      ("S:a", "C1"), ("S:shared", "C1"),
+      ("S:shared", "C2"), ("S:b", "C2"),
+      ("S:c", "C3")).toDF("src", "dst")
+    val driver = graft.canon.Canon.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(driver("C1") == "C1" && driver("C2") == "C1" && driver("S:shared") == "C1")
+    assert(driver("S:a") == "C1" && driver("S:b") == "C1")
+    assert(driver("C3") == "C3" && driver("S:c") == "C3")
+    val contraction = graft.canon.Canon.connectedComponents(edges, driverMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(contraction == driver)
+  }
+
   // ---------------------------------------------------------- skew generator
 
   test("hubFrac generator: hubFrac=0 is byte-identical to the r2 generator; hubFrac=0.3 plants the hub") {
