@@ -265,6 +265,28 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------- dedup / similarity / multimodal (rows-only)
+    "dedup_exact_groups" -> ((s, dir) => {
+      // the batch exact-dedup OPERATOR under a hard oracle (r2's
+      // q_docs_dedup_exact only counted distinct texts in SQL on both
+      // sides): plant exact copies, emit each duplicate group keyed by
+      // its surviving min id. The widened 64-bit identity key is engine-
+      // internal, so the driver-checked projection is (keep_id, n_docs).
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exactGroups(d.union(planted), "text", "doc_id")
+        .select(col("keep_id"), col("n_docs"))
+        .orderBy("keep_id")
+    }),
+    "dedup_exact_drop" -> ((s, dir) => {
+      // dropExactDuplicates end-to-end: survivors of docs ∪ planted copies
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.dropExactDuplicates(d.union(planted), "text", "doc_id")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashPairs(s.read.parquet(t(dir, "documents")), "text", "doc_id", threshold = 0.3)
         .orderBy("id_a", "id_b")
@@ -626,6 +648,21 @@ object SparkEntry {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "dedup_exact_groups" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM d GROUP BY text HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "dedup_exact_drop" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, md5(text) AS text_md5 FROM (
+        |  SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "streaming_dedup_exact" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS text_md5 FROM (
         |  SELECT doc_id, text,

@@ -366,6 +366,38 @@ object Icebergish {
     }
   }
 
+  /** Remove crashed writers' garbage: data directories referenced by NO
+    * manifest (a writer that died before its manifest-create commit point
+    * leaves an inert nonce'd staging dir). Data referenced by ANY
+    * snapshot — current or historical — is never touched, so time travel
+    * is preserved in full. Maintenance op for a quiet table: a writer
+    * mid-stage (data written, manifest not yet created) would lose its
+    * staging, which for that writer is indistinguishable from losing the
+    * commit race — it fails cleanly and retries.
+    * @return the removed directory names
+    */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val mDir = new Path(root, "manifests")
+    val dDir = new Path(root, "data")
+    if (!f.exists(dDir)) return Nil
+    val referenced: Set[String] =
+      if (!f.exists(mDir)) Set.empty
+      else f.listStatus(mDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+          n.stripPrefix("snap-").stripSuffix(".json").toLong
+        }
+        .flatMap { id =>
+          val s = readManifest(spark, root, id)
+          // dataDir covers post-r3 manifests; file prefixes cover legacy
+          s.dataDir.toSeq ++ s.files.map(_.split("/").take(2).mkString("/"))
+        }
+        .map(_.stripPrefix("data/")).toSet
+    f.listStatus(dDir).toSeq.map(_.getPath.getName)
+      .filterNot(referenced)
+      .map { orphan => f.delete(new Path(dDir, orphan), true); orphan }
+  }
+
   /** Compact the current file set into ONE overwrite snapshot — the
     * remedy for streaming's small-files problem (every micro-batch append
     * adds a snapshot whose file count is the shuffle parallelism; after k

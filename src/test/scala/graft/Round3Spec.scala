@@ -87,6 +87,26 @@ class Round3Spec extends AnyFunSuite {
     assert((0 until 50).map(i => s"t$i").toSet.subsetOf(afterCompact))
   }
 
+  test("vacuum removes only unreferenced staging dirs; committed and historical data survive") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_vacuum")
+    Icebergish.commit(Seq((1, "a")).toDF("id", "v"), root)
+    Icebergish.commit(Seq((2, "b")).toDF("id", "v"), root, "overwrite")
+    // a crashed writer's staging: data dir with no manifest
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "data/snap-9-deadbeef")
+    f.mkdirs(orphan)
+    f.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true).close()
+
+    val removed = Icebergish.vacuum(spark, root)
+    assert(removed == Seq("snap-9-deadbeef"))
+    assert(Icebergish.read(spark, root).count() == 1)
+    // historical snapshot 0 (cut by the overwrite) still time-travels
+    assert(Icebergish.read(spark, root, Some(0L)).count() == 1)
+    assert(Icebergish.vacuum(spark, root).isEmpty) // idempotent
+  }
+
   // ------------------------------------------------------------- streaming
 
   test("kgStream fails fast on a fresh checkpoint pointed at a table with this writer's old commits") {
