@@ -56,24 +56,47 @@ object SkewBench {
     val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS()).cache()
     lex.count()
 
-    def once(path: String): (Long, Double) = {
+    // per-stage task-time skew: the listener-level evidence that no hub
+    // key concentrates work on one task (max/median task time per stage)
+    val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, Vector[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null)
+          stageTimes.merge(te.stageId, Vector(te.taskInfo.duration), _ ++ _)
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def once(path: String): (Long, Double, Double) = {
+      stageTimes.clear()
       val docs = spark.read.parquet(path).as[graft.core.Doc]
       val t0 = System.nanoTime()
       val (triples, cleanup) = KgPipeline.runWithCleanup(docs, lex, numPartitions = cpus * 2)
       val n = triples.count()
       val wall = (System.nanoTime() - t0) / 1e9
       cleanup()
-      (n, wall)
+      // worst max/median task-time ratio across stages with enough tasks
+      // to make a ratio meaningful (a hot hub key would show up here)
+      import scala.jdk.CollectionConverters._
+      val worst = stageTimes.values.asScala
+        .filter(_.size >= 8)
+        .map { ts =>
+          val s = ts.sorted
+          s.last.toDouble / math.max(s(s.size / 2), 1L)
+        }
+        .maxOption.getOrElse(1.0)
+      (n, wall, worst)
     }
 
     // one untimed warm-up per variant, then interleaved timed runs
     variants.foreach { case (name, _) => once(staged(name)) }
     val walls = scala.collection.mutable.Map(variants.map(_._1 -> Vector.empty[Double]): _*)
+    val skews = scala.collection.mutable.Map(variants.map(_._1 -> Vector.empty[Double]): _*)
     val counts = scala.collection.mutable.Map.empty[String, Long]
     for (_ <- 0 until runs; (name, _) <- variants) {
-      val (n, w) = once(staged(name))
+      val (n, w, sk) = once(staged(name))
       counts(name) = n
       walls(name) = walls(name) :+ w
+      skews(name) = skews(name) :+ sk
     }
     def median(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
     def fmt(xs: Vector[Double]): String = xs.map(w => f"$w%.2f").mkString("[", ",", "]")
@@ -84,7 +107,7 @@ object SkewBench {
     val tu = counts("uniform") / mu
     val ts = counts("skewed") / ms
     println(
-      f"""{"bench":"skew","docs":$nDocs,"hub_frac":$hubFrac,"cores":$cpus,"runs":$runs,"wall_uniform":${fmt(walls("uniform"))},"wall_skewed":${fmt(walls("skewed"))},"median_uniform_sec":$mu%.2f,"median_skewed_sec":$ms%.2f,"triples_uniform":${counts("uniform")},"triples_skewed":${counts("skewed")},"triples_per_sec_uniform":$tu%.1f,"triples_per_sec_skewed":$ts%.1f,"wall_ratio_skewed_over_uniform":${ms / mu}%.3f,"throughput_ratio_uniform_over_skewed":${tu / ts}%.3f}""")
+      f"""{"bench":"skew","docs":$nDocs,"hub_frac":$hubFrac,"cores":$cpus,"runs":$runs,"wall_uniform":${fmt(walls("uniform"))},"wall_skewed":${fmt(walls("skewed"))},"median_uniform_sec":$mu%.2f,"median_skewed_sec":$ms%.2f,"triples_uniform":${counts("uniform")},"triples_skewed":${counts("skewed")},"triples_per_sec_uniform":$tu%.1f,"triples_per_sec_skewed":$ts%.1f,"wall_ratio_skewed_over_uniform":${ms / mu}%.3f,"throughput_ratio_uniform_over_skewed":${tu / ts}%.3f,"task_skew_max_over_median_uniform":${fmt(skews("uniform"))},"task_skew_max_over_median_skewed":${fmt(skews("skewed"))}}""")
     spark.stop()
   }
 }
