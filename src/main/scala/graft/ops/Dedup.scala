@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.core.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for web-scale training-data pipelines:
@@ -46,13 +45,23 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .select(col("text_hash"), col("n_docs"), col("keep_id"))
 
-  /** Exact dedup: keep the smallest id per distinct text. */
+  /** Exact dedup: keep the smallest id per distinct text.
+    *
+    * Implemented as `min_by` over the identity key — a hash aggregation
+    * with MAP-SIDE PARTIAL COMBINE, so each task forwards at most one row
+    * per distinct text it sees. The r2/r3a version used a row_number
+    * window, which shuffles EVERY row and sorts every partition: on a
+    * mostly-duplicate 100 TB crawl the partial-agg plan moves a fraction
+    * of the data the window plan does (PlanSpec asserts no Window).
+    */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
     dropExactDuplicatesByKey(df, identityKey(col(textCol)), idCol)
 
   private[graft] def dropExactDuplicatesByKey(df: DataFrame, keys: Seq[Column], idCol: String): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val allCols = df.columns.toSeq
+    df.groupBy(keys: _*)
+      .agg(min_by(struct(allCols.map(col): _*), col(idCol)).as("__row"))
+      .select(allCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   // ---------------------------------------------------------------- MinHash

@@ -19,11 +19,21 @@ object Streaming {
 
   /** Streaming source over a docs-table directory (parquet files arriving
     * over time). Schema must be supplied in streaming reads.
+    *
+    * @param maxFilesPerTrigger bound the files ingested per micro-batch
+    *   (0 = unbounded). The production knob for a 100 TB backfill: an
+    *   unbounded AvailableNow drain would put the WHOLE backlog into one
+    *   micro-batch — one giant commit, no incremental checkpoints;
+    *   bounding it yields steady bounded-size batches, each one an
+    *   idempotent snapshot commit in [[kgStream]].
     */
-  def docsStream(spark: SparkSession, path: String): Dataset[Doc] = {
+  def docsStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): Dataset[Doc] = {
     import spark.implicits._
-    spark.readStream
+    val reader = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+    (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else reader)
       .parquet(path)
       .as[Doc]
   }

@@ -92,6 +92,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact dedup drops duplicates via partial aggregation, not a window rank") {
+    // the window plan shuffles and sorts EVERY row; min_by over the
+    // identity key forwards at most one row per distinct text per task
+    val df = SparkEntry.queries("dedup_exact_drop")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"), "exact dedup still uses a window rank")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "exact dedup lost its aggregation")
+  }
+
+  test("trained-IVF probe join broadcasts the query side; no cartesian product") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p = plan(graft.ops.Similarity.ivfTopK(e, q, "vec_id", "embedding", 5))
+    assert(p.contains("BroadcastHashJoin"), "IVF cell join is not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "IVF degenerated to an all-pairs join")
+  }
+
   test("canonicalize joins the component mapping by broadcast, not shuffle") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

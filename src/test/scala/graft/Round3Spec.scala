@@ -135,6 +135,33 @@ class Round3Spec extends AnyFunSuite {
     lex.unpersist()
   }
 
+  test("kgStream with maxFilesPerTrigger bounds micro-batches: several idempotent commits per drain") {
+    import spark.implicits._
+    val srcDir = tmpDir("kg_rate_src")
+    val outRoot = tmpDir("kg_rate_out") + "/triples"
+    val ckpt = tmpDir("kg_rate_ckpt") + "/ckpt"
+    val lex = graft.data.Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+
+    val g = graft.data.DocsGen.gen(spark, 90, seed = 41)
+    // 3 source files → with maxFilesPerTrigger=1, one AvailableNow drain
+    // processes them as 3 micro-batches, each its own tagged snapshot
+    graft.data.DocsGen.docs(g).repartition(3).write.mode("append").parquet(srcDir)
+    Streaming.kgStream(
+      Streaming.docsStream(spark, srcDir, maxFilesPerTrigger = 1), lex, outRoot, ckpt)
+      .awaitTermination()
+
+    val tags = Icebergish.committedTags(spark, outRoot).filter(_.startsWith("batch-"))
+    assert(tags.size >= 3, s"expected >=3 bounded micro-batch commits, got $tags")
+    // and the result equals the batch pipeline over the same docs
+    val streamed = Icebergish.read(spark, outRoot)
+      .select("subj", "pred", "obj", "doc_id")
+      .as[(String, String, String, String)].collect().toSet
+    val direct = graft.pipeline.KgPipeline.run(graft.data.DocsGen.docs(g), lex)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id)).toSet
+    assert(streamed == direct && streamed.nonEmpty)
+    lex.unpersist()
+  }
+
   // ------------------------------------------------------- exact-dedup keys
 
   test("exact dedup survives an engineered first-hash collision (widened identity key)") {

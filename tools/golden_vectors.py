@@ -150,6 +150,36 @@ def sign_bands(v, pv, bands):
     return keys
 
 
+# ----------------------------------------------- deterministic embeddings
+import struct as _struct
+
+
+def f32(x):
+    """Round a Python double to IEEE float32 (Scala Float semantics)."""
+    return _struct.unpack("f", _struct.pack("f", x))[0]
+
+
+def hash_embedding(key, dim, seed=0):
+    base = hash_string(key, seed)
+    return [f32(uniform_double(mix64((base + i) & M64)) * 2.0 - 1.0) for i in range(dim)]
+
+
+def context_embedding(text, dim):
+    """Linker.contextEmbedding: hashed char-2-gram sums, float32 math."""
+    acc = [0.0] * dim
+    if not text:
+        return acc
+    for i in range(len(text)):
+        g2 = text[i:min(i + 2, len(text))]
+        h = hash_string(g2, 0x5EED)
+        for d in range(dim):
+            acc[d] = f32(acc[d] + f32(uniform_double(mix64((h + d) & M64)) * 2 - 1))
+    norm = f32(sum(x * x for x in acc) ** 0.5)
+    if norm > 0:
+        acc = [f32(x / norm) for x in acc]
+    return acc
+
+
 TEXTS = [
     "the quick brown fox jumps over the lazy dog",
     "la casa de la montana es de el abuelo",
@@ -219,6 +249,22 @@ def main():
     print("  // first components of planeVectors(0xB17, 8, 4) — pins the plane RNG itself")
     print("  val goldenPlane00: Double = %r" % pv[0][0])
     print("  val goldenPlane73: Double = %r" % pv[7][3])
+    print("  // Hashing.embedding(key, 8): per-component doubles (Scala compares .toFloat)")
+    print("  val goldenHashEmbedding: Seq[(String, Seq[Float])] = Seq(")
+    rows = []
+    for key in ("C0000001|食管", "enc|高血压病", "q"):
+        e = hash_embedding(key, 8)
+        rows.append(f"    ({scala_str(key)}, Seq({', '.join(repr(x) + 'f' for x in e)}))")
+    print(",\n".join(rows))
+    print("  )")
+    print("  // Linker.contextEmbedding(text, 8): float32 accumulation replicated exactly")
+    print("  val goldenCtxEmbedding: Seq[(String, Seq[Float])] = Seq(")
+    rows = []
+    for t in ("食管", "高血压病", "x", ""):
+        e = context_embedding(t, 8)
+        rows.append(f"    ({scala_str(t)}, Seq({', '.join(repr(x) + 'f' for x in e)}))")
+    print(",\n".join(rows))
+    print("  )")
 
 
 if __name__ == "__main__":
