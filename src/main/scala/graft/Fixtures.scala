@@ -187,6 +187,26 @@ object Fixtures {
     write(minhashPairs.toDF("id_a", "id_b", "est_raw")
       .withColumn("est_jaccard", round(col("est_raw"), 6)).drop("est_raw"), "expected_minhash_pairs")
 
+    // near-dup CLUSTER replica: union-find over the same pair set — the
+    // distributed machinery under test in `dedup_minhash_clusters` is the
+    // connected-components contraction over the banded pair graph
+    locally {
+      val parent = mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      minhashPairs.foreach { case (a, b, _) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val members = minhashPairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      write(members.map(m => (m, find(m))).toDF("id", "keep_id"), "expected_neardup_clusters")
+    }
+
     // ------------------------------------------- embedding ops (local)
     val embeddings: Seq[(Long, Array[Float])] = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long"), col("embedding"))

@@ -291,6 +291,15 @@ object SparkEntry {
       Dedup.minhashPairs(s.read.parquet(t(dir, "documents")), "text", "doc_id", threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_minhash_clusters" -> ((s, dir) => {
+      // end-to-end near-dup dedup: banded pair graph → connected
+      // components → canonical min-id survivor per cluster (transitive
+      // closure of the pairwise signal — the shape a training corpus
+      // actually deduplicates with)
+      val pairs = Dedup.minhashPairs(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id", threshold = 0.3)
+      Dedup.nearDupClusters(pairs).orderBy("id")
+    }),
     "dedup_simhash" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
@@ -921,6 +930,8 @@ object SparkEntry {
       s"""SELECT tag, n FROM ${fx("expected_aug_tags")} ORDER BY tag""",
     "dedup_minhash_pairs" ->
       s"""SELECT id_a, id_b, est_jaccard FROM ${fx("expected_minhash_pairs")} ORDER BY id_a, id_b""",
+    "dedup_minhash_clusters" ->
+      s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ${fx("expected_simhash")} ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

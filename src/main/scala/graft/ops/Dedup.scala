@@ -151,6 +151,52 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Near-duplicate CLUSTERS: the full dedup shape a training corpus
+    * needs. Pairwise similarity is not transitive-closed — A~B and B~C
+    * pairs with no A~C pair still mean {A,B,C} is ONE duplicate cluster —
+    * so the pair graph goes through connected components and each doc
+    * maps to its cluster's minimum id (the canonical survivor).
+    *
+    * Scale shape: the pair graph is data-sized (NOT vocabulary-bounded
+    * like the KG canonicalization graph), so the CC call keeps the
+    * adaptive gate — small graphs resolve on the driver, large ones run
+    * the salted large-star/small-star contraction (`driverMaxEdges = 0`
+    * forces it). Ids travel as fixed-width strings so the component
+    * minimum (lexicographic) equals the numeric minimum.
+    *
+    * @return (id, keep_id) for every doc that belongs to a near-dup
+    *         cluster; docs absent from the result are singletons (their
+    *         own keepers). `keep_id = id` marks the survivor row.
+    */
+  def nearDupClusters(
+      pairs: DataFrame, // (id_a, id_b, …) long ids, e.g. from minhashPairs
+      driverMaxEdges: Long = 100000L): DataFrame = {
+    val pad = udf((id: Long) => f"$id%020d")
+    val edges = pairs.select(pad(col("id_a")).as("src"), pad(col("id_b")).as("dst"))
+    graft.canon.Canon.connectedComponents(edges, driverMaxEdges = driverMaxEdges)
+      .select(
+        col("node").cast("long").as("id"),
+        col("component").cast("long").as("keep_id"))
+  }
+
+  /** Drop near-duplicates: keep one doc per cluster (the min id) plus all
+    * singletons. Composes [[minhashPairs]] → [[nearDupClusters]] → one
+    * broadcast-friendly anti-join of the (tiny) victim set back onto the
+    * corpus — the corpus itself is never shuffled.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      driverMaxEdges: Long = 100000L): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, threshold = threshold)
+    val victims = nearDupClusters(pairs, driverMaxEdges)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens. */

@@ -107,6 +107,31 @@ class Round3Spec extends AnyFunSuite {
     assert(Icebergish.vacuum(spark, root).isEmpty) // idempotent
   }
 
+  test("same-bucketed tables join with zero exchanges on either side") {
+    import spark.implicits._
+    import graft.tables.Bucketing
+    val base = tmpDir("bucketed")
+    val a = (0L until 2000L).map(i => (i, s"payload-$i")).toDF("doc_id", "text")
+    val b = (0L until 2000L).map(i => (i, i * 2.0)).toDF("doc_id", "score")
+    Bucketing.writeBucketed(a, "r3_bucket_a", "doc_id", 8, s"$base/a")
+    Bucketing.writeBucketed(b, "r3_bucket_b", "doc_id", 8, s"$base/b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the co-location claim is about the SHUFFLE
+      // join the planner would otherwise build at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.cocatedJoin(spark, "r3_bucket_a", "r3_bucket_b", "doc_id")
+      assert(j.count() == 2000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join still exchanges:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS r3_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS r3_bucket_b")
+    }
+  }
+
   // ------------------------------------------------------------- streaming
 
   test("kgStream fails fast on a fresh checkpoint pointed at a table with this writer's old commits") {
@@ -340,6 +365,36 @@ class Round3Spec extends AnyFunSuite {
       DocsGen.goldMentions(g), Lexicon.dequantize(Lexicon.quantize(lex128)), ctxDim = dim))
     assert(viaQuant == base)
     lex128.unpersist()
+  }
+
+  // ------------------------------------------------------ near-dup clusters
+
+  test("nearDupClusters transitively closes pairs; dropNearDuplicates keeps one doc per cluster") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // A~B and B~C with NO A~C pair must still be one cluster {A,B,C};
+    // ids straddling a digit-count boundary (9 vs 10) catch any
+    // lexicographic-vs-numeric min confusion in the id padding
+    val pairs = Seq((9L, 10L, 0.9), (10L, 123L, 0.9), (500L, 501L, 0.9))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(9L -> 9L, 10L -> 9L, 123L -> 9L, 500L -> 500L, 501L -> 500L))
+    // and the contraction (non-driver) path agrees
+    val general = Dedup.nearDupClusters(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(general == clusters)
+
+    // end-to-end drop: 3 identical texts + 2 distinct → keep min id + both singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "totally different words here indeed")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
   }
 
   // ----------------------------------------------------- multimodal headers
