@@ -302,7 +302,8 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
-      d.select(col("doc_id"), Dedup.simhashUdf(col("text")).as("simhash")).orderBy("doc_id")
+      // native codegen'd expression (no UDF boundary), oracle unchanged
+      d.select(col("doc_id"), Dedup.simhashCol(col("text")).as("simhash")).orderBy("doc_id")
     }),
     "dedup_simhash_pairs" -> ((s, dir) => {
       // near-identical docs planted as exact copies (hamming 0) so the

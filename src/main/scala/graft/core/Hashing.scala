@@ -49,6 +49,29 @@ object Hashing {
     (if (m < 0) m + n else m).toInt
   }
 
+  /** 64-bit SimHash over whitespace tokens (kernel shared by
+    * `ops.Dedup.simhash` and the native `functions.SimHash64` Catalyst
+    * expression — which calls this from generated code, so it must stay a
+    * plain static-forwardable object method).
+    */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { t =>
+      if (t.nonEmpty) {
+        val h = hashString(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Deterministic unit-ish embedding of dimension `dim` from a key.
     * Components in [-1, 1); used for synthetic lexicon/context embeddings.
     */

@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(a, b) - dot product of two array<float> vectors, accumulated in double",
         ""),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(
+        classOf[SimHash64].getName,
+        null,
+        "simhash64",
+        "_FUNC_(s) - 64-bit SimHash of a string over whitespace tokens",
+        ""),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
   }
 }

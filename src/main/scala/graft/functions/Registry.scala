@@ -48,5 +48,6 @@ object Registry {
     spark.udf.register("seqeval_entities", (tags: Seq[String]) =>
       Bio.seqevalEntities(Option(tags).getOrElse(Seq.empty).toIndexedSeq))
     VecDot.register(spark)
+    SimHash64.register(spark)
   }
 }

@@ -199,26 +199,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over whitespace tokens. */
-  def simhash(text: String): Long = {
-    val counts = new Array[Int](64)
-    text.toLowerCase.split("\\s+").foreach { t =>
-      if (t.nonEmpty) {
-        val h = Hashing.hashString(t)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  /** 64-bit SimHash over whitespace tokens (kernel in [[Hashing.simhash64]]). */
+  def simhash(text: String): Long = Hashing.simhash64(text)
 
   val simhashUdf = udf((s: String) => simhash(if (s == null) "" else s))
+
+  /** Column form via the NATIVE codegen'd expression — no UDF
+    * encoder/serializer boundary in the scan-heavy dedup path (null maps
+    * to simhash("") = 0, matching the UDF's behavior).
+    */
+  def simhashCol(c: Column): Column =
+    graft.functions.SimHash64.simhash64(coalesce(c, lit("")))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Blocking: split the 64-bit hash into (maxHamming+1) bands — any pair
@@ -235,7 +226,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sh = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sh"))
     val bandCols = (0 until nBands).map { b =>
       shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1))
     }

@@ -367,6 +367,35 @@ class Round3Spec extends AnyFunSuite {
     lex128.unpersist()
   }
 
+  // ------------------------------------------------- native SimHash64 expr
+
+  test("SimHash64 native expression equals the scalar kernel, works in SQL, and stays in codegen") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "患者的食管有病变", "", "x  y\tz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // Column API equals the scalar kernel
+    val viaExpr = df.select(col("id"), graft.functions.SimHash64.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(viaExpr(i.toLong) == graft.ops.Dedup.simhash(t), s"simhash64($t)")
+    }
+    // SQL registration
+    graft.functions.SimHash64.register(spark)
+    df.createOrReplaceTempView("r3_simhash_in")
+    val viaSql = spark.sql("SELECT id, simhash64(text) AS sh FROM r3_simhash_in")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaExpr)
+    // whole-stage codegen covers the projection (no UDF boundary); use a
+    // parquet-backed scan — a LocalRelation projection is constant-folded
+    // before any codegen stage exists
+    val codegen = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.SimHash64.simhash64(col("text")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+    assert(codegen.contains("simhash64"), "expression not in the generated span")
+  }
+
   // ------------------------------------------------------ near-dup clusters
 
   test("nearDupClusters transitively closes pairs; dropNearDuplicates keeps one doc per cluster") {
