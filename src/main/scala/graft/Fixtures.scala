@@ -134,6 +134,20 @@ object Fixtures {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
 
+    // stratified-sample replica: the same seeded per-id gate applied in a
+    // local loop (distributed machinery under test: the partition-
+    // independent filter — any partition-order dependence would diverge)
+    locally {
+      val docLangs: Seq[(Long, String)] = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("lang"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val rates = Map("zh" -> 1.0, "en" -> 0.2) // must match q_docs_stratified_sample
+      write(docLangs.collect {
+        case (id, lang) if Hashing.uniformDouble(Hashing.hash2(0x5A3EL, id)) <
+          rates.getOrElse(lang, 0.5) => id
+      }.toDF("doc_id"), "expected_stratified_sample")
+    }
+
     write(docs.map { case (id, t) => (id, Dedup.simhash(if (t == null) "" else t)) }
       .toDF("doc_id", "simhash"), "expected_simhash")
     write(docs.map { case (id, t) => (id, TextAnalysis.languageId(t)) }

@@ -5,7 +5,7 @@ import graft.data.{DocsGen, Lexicon}
 import graft.detect.Detector
 import graft.link.Linker
 import graft.metrics.SpanMetrics
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.KgPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -263,6 +263,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "q_docs_stratified_sample" -> ((s, dir) => {
+      // deterministic data mixing (per-language sampling rates): the gate
+      // is a pure function of (seed, doc_id), so the sample is identical
+      // under any partitioning — verified against a sequential replica
+      Sampling.stratified(s.read.parquet(t(dir, "documents")), "doc_id", "lang",
+        Map("zh" -> 1.0, "en" -> 0.2), defaultFrac = 0.5, seed = 0x5A3EL)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
 
     // ---------------------------------------------------------------- dedup / similarity / multimodal (rows-only)
     "dedup_exact_groups" -> ((s, dir) => {
@@ -425,6 +433,24 @@ object SparkEntry {
         .withColumn("sess_id",
           sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       sess.groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          max("n_events").as("longest_session"))
+        .orderBy("user_id")
+    }),
+    "q_events_session_window" -> ((s, dir) => {
+      // Spark's NATIVE gap-session operator, cross-validating the manual
+      // sessionization (q_events_sessionize) against the same DuckDB
+      // oracle. Boundary note: session_window treats an event exactly
+      // `gap` after its predecessor as a NEW session while the manual
+      // window-lag version keeps it (diff > gap); the µs-resolution
+      // events table has no exact-gap pair, so all three derivations
+      // agree (asserted empty in Round3Spec too).
+      val e = s.read.parquet(t(dir, "events")).withColumn("ts", col("ts").cast("timestamp"))
+      e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .groupBy("user_id")
         .agg(
@@ -642,6 +668,24 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC) AS rn FROM q)
         |SELECT source, doc_id AS best_doc_id, qs AS best_quality FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "q_events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |            > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o),
+        |g AS (SELECT user_id, sess_id, count(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(n_events) AS BIGINT) AS longest_session
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the native session_window derivation must land on the SAME answer
+    "q_events_session_window" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
@@ -933,6 +977,8 @@ object SparkEntry {
       s"""SELECT id_a, id_b, est_jaccard FROM ${fx("expected_minhash_pairs")} ORDER BY id_a, id_b""",
     "dedup_minhash_clusters" ->
       s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
+    "q_docs_stratified_sample" ->
+      s"""SELECT doc_id FROM ${fx("expected_stratified_sample")} ORDER BY doc_id""",
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ${fx("expected_simhash")} ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

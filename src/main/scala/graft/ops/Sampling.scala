@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.core.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Every gate is a pure function of (seed, row id) — `uniformDouble(
+  * hash2(seed, id))` — so a sample is identical for any partitioning,
+  * core count, or re-run, and DISJOINT seeds give independent samples
+  * (the property a train/eval split needs). This is the same seeded-gate
+  * discipline as the augmentation ops (SURVEY §2.8 U2) promoted to a
+  * first-class operator family:
+  *
+  *  - [[bernoulli]]: flat rate over the corpus;
+  *  - [[stratified]]: per-stratum rates — the DATA MIXER of an LLM
+  *    corpus ("keep 100% of zh, 10% of en, 50% of everything else"),
+  *    a narrow filter with no shuffle at any scale;
+  *  - [[split]]: disjoint deterministic folds from one hash draw.
+  */
+object Sampling {
+
+  private def gate(idCol: Column, seed: Long): Column = {
+    val u = udf((id: Long) => Hashing.uniformDouble(Hashing.hash2(seed, id)))
+    u(idCol)
+  }
+
+  /** Keep each row with probability `frac`, deterministically per id. */
+  def bernoulli(df: DataFrame, idCol: String, frac: Double, seed: Long): DataFrame =
+    df.filter(gate(col(idCol).cast("long"), seed) < frac)
+
+  /** Per-stratum Bernoulli rates; strata not in `rates` use `defaultFrac`.
+    * The rate lookup is a broadcast-free map literal in the plan (the
+    * rates map is bounded: languages, sources, buckets).
+    */
+  def stratified(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultFrac: Double,
+      seed: Long): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(gate(col(idCol).cast("long"), seed) < rate)
+  }
+
+  /** Disjoint deterministic folds: `fractions` must sum to ≤ 1; row id
+    * lands in fold i iff its uniform draw falls in fractions' i-th
+    * half-open interval. One hash draw per row, zero overlap between
+    * folds — the train/dev/test split shape.
+    */
+  def split(df: DataFrame, idCol: String, fractions: Seq[Double], seed: Long): Seq[DataFrame] = {
+    require(fractions.sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bounds = fractions.scanLeft(0.0)(_ + _)
+    val u = gate(col(idCol).cast("long"), seed)
+    fractions.indices.map(i => df.filter(u >= bounds(i) && u < bounds(i + 1)))
+  }
+}

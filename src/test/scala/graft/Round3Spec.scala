@@ -367,6 +367,54 @@ class Round3Spec extends AnyFunSuite {
     lex128.unpersist()
   }
 
+  // ----------------------------------------------- sessionization x-check
+
+  test("native session_window agrees with the manual window-lag sessionization") {
+    val manual = SparkEntry.queries("q_events_sessionize")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val native = SparkEntry.queries("q_events_session_window")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(native == manual && manual.nonEmpty)
+    // the two differ only at an EXACT-gap pair; assert the data has none
+    // (so the shared oracle is valid for both derivations)
+    import org.apache.spark.sql.functions._
+    val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("t", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("d", col("t") - lag("t", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("t")))
+      .filter(col("d") === 1800L * 1000000L).count()
+    assert(exact == 0L)
+  }
+
+  // --------------------------------------------------- deterministic sample
+
+  test("sampling: partition-independent gates, per-stratum rates, disjoint exhaustive splits") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = (0L until 20000L).map(i => (i, if (i % 3 == 0) "zh" else "en")).toDF("doc_id", "lang")
+
+    // identical sample under wildly different partitioning
+    val a = Sampling.bernoulli(df, "doc_id", 0.3, seed = 11).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(df.repartition(17), "doc_id", 0.3, seed = 11)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.02)
+
+    // stratified rates hold per stratum
+    val s = Sampling.stratified(df, "doc_id", "lang", Map("zh" -> 0.9), defaultFrac = 0.1, seed = 12)
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("zh") / (20000 / 3.0) - 0.9) < 0.05)
+    assert(math.abs(byLang("en") / (20000 * 2 / 3.0) - 0.1) < 0.05)
+
+    // folds are disjoint and (summing to 1) exhaustive
+    val folds = Sampling.split(df, "doc_id", Seq(0.7, 0.2, 0.1), seed = 13)
+      .map(_.select("doc_id").as[Long].collect().toSet)
+    assert(folds(0).intersect(folds(1)).isEmpty && folds(0).intersect(folds(2)).isEmpty
+      && folds(1).intersect(folds(2)).isEmpty)
+    assert(folds.map(_.size).sum == 20000)
+    assert(math.abs(folds(0).size / 20000.0 - 0.7) < 0.02)
+  }
+
   // ------------------------------------------------- native SimHash64 expr
 
   test("SimHash64 native expression equals the scalar kernel, works in SQL, and stays in codegen") {
