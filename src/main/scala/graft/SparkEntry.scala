@@ -210,6 +210,16 @@ object SparkEntry {
         countDistinct(col("text")).as("n_distinct_texts"),
         (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
     }),
+    "q_docs_dedup_normalized" -> ((s, dir) => {
+      // normalization-aware dedup signal: how many docs collapse when
+      // case/whitespace differences are erased before hashing
+      val d = s.read.parquet(t(dir, "documents"))
+      val norm = TextAnalysis.normalizeText(col("text"))
+      d.agg(
+        countDistinct(col("text")).as("n_raw_distinct"),
+        countDistinct(norm).as("n_norm_distinct"),
+        (countDistinct(col("text")) - countDistinct(norm)).as("n_normalized_dups"))
+    }),
     "q_docs_token_count" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_tokens"))
@@ -614,6 +624,12 @@ object SparkEntry {
     "q_docs_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
         |  count(*) - count(DISTINCT text) AS n_exact_dups FROM documents""".stripMargin,
+    "q_docs_dedup_normalized" ->
+      """SELECT count(DISTINCT text) AS n_raw_distinct,
+        |  count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_norm_distinct,
+        |  count(DISTINCT text) - count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    AS n_normalized_dups
+        |FROM documents""".stripMargin,
     "q_docs_token_count" ->
       """SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

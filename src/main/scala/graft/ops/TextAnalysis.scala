@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Dedup-normalization: lowercase, trim, collapse whitespace runs — the
+    * standard pre-pass before exact dedup so trivially-reformatted copies
+    * (case, indentation, CRLF) hash identically. Pure Column chain
+    * (codegen); compose with `Dedup.dropExactDuplicates` by deduping on
+    * `df.withColumn("text_norm", normalizeText($"text"))`.
+    */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
   /** Whitespace token count — `size(split(...))` stays in codegen. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
