@@ -73,14 +73,15 @@ object Icebergish {
   case class Snapshot(
       id: Long,
       parent: Long, // -1 = none
-      mode: String, // "append" | "overwrite"
+      mode: String, // "append" | "overwrite" | "replace"
       files: Seq[String],
       rows: Long,
       committedAt: String,
       partitionBy: Seq[String] = Nil,
       tag: Option[String] = None,
       dataDir: Option[String] = None, // nonce'd; pre-r3 manifests lack it
-      tags: Option[Map[String, Long]] = None) // rolled-up tag → rows
+      tags: Option[Map[String, Long]] = None, // rolled-up tag → rows
+      removedFiles: Seq[String] = Nil) // "replace" mode: files dropped from the parent's effective set
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -138,23 +139,45 @@ object Icebergish {
       Option(m.get("tag")).map(_.toString),
       Option(m.get("data_dir")).map(_.toString),
       Option(m.get("tags")).map(_.asInstanceOf[java.util.Map[String, Object]]
-        .asScala.map { case (k, v) => k -> v.toString.toLong }.toMap))
+        .asScala.map { case (k, v) => k -> v.toString.toLong }.toMap),
+      Option(m.get("removed_files"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Nil))
   }
 
-  /** Effective file set of a snapshot: walk the parent chain until an
-    * overwrite (or the root).
+  /** Manifest chain contributing to snapshot `id`, oldest first — cut at
+    * the newest overwrite (or the root).
     */
-  def fileSet(spark: SparkSession, root: String, id: Long): Seq[String] = {
-    val files = mutable.ListBuffer.empty[String]
+  private def chainOf(spark: SparkSession, root: String, id: Long): Seq[Snapshot] = {
+    val chain = mutable.ListBuffer.empty[Snapshot]
     var cur = id
     var done = false
     while (!done) {
       val s = readManifest(spark, root, cur)
-      files.prependAll(s.files)
+      chain.prepend(s)
       if (s.mode == "overwrite" || s.parent < 0) done = true else cur = s.parent
     }
-    files.toSeq
+    chain.toSeq
   }
+
+  /** Effective (file, owning snapshot) pairs: fold the chain applying each
+    * snapshot's removals (replace mode) then its additions, in commit
+    * order.
+    */
+  private def effectiveFiles(chain: Seq[Snapshot]): Seq[(String, Snapshot)] = {
+    val acc = mutable.LinkedHashMap.empty[String, Snapshot]
+    chain.foreach { s =>
+      s.removedFiles.foreach(acc.remove)
+      s.files.foreach(f => acc(f) = s)
+    }
+    acc.toSeq
+  }
+
+  /** Effective file set of a snapshot: additions along the parent chain
+    * (cut by an overwrite) minus replace-mode removals.
+    */
+  def fileSet(spark: SparkSession, root: String, id: Long): Seq[String] =
+    effectiveFiles(chainOf(spark, root, id)).map(_._1)
 
   /** Commit a DataFrame as a new snapshot. Returns the new snapshot id.
     *
@@ -183,6 +206,21 @@ object Icebergish {
       tag: Option[String] = None): Long =
     commitWithParent(df, root, mode, partitionBy, tag, None)
 
+  /** Replace-mode commit: add `df`'s files AND drop `removedFiles` from
+    * the parent's effective set in one atomic snapshot — the primitive
+    * behind partition-scoped rewrites ([[upsertPartitions]]) and
+    * per-partition compaction. Removed files stay on disk (their adding
+    * manifests still reference them, so time travel and [[vacuum]]
+    * safety are untouched); they just leave the live file set.
+    */
+  def commitReplace(
+      df: DataFrame,
+      root: String,
+      partitionBy: Seq[String],
+      removedFiles: Seq[String],
+      tag: Option[String] = None): Long =
+    commitWithParent(df, root, "replace", partitionBy, tag, None, removedFiles)
+
   /** Test seam: `parentOverride` simulates a writer that resolved its
     * parent BEFORE a concurrent winner committed (the stale-parent race).
     */
@@ -192,8 +230,10 @@ object Icebergish {
       mode: String,
       partitionBy: Seq[String],
       tag: Option[String],
-      parentOverride: Option[Long]): Long = {
-    require(mode == "append" || mode == "overwrite")
+      parentOverride: Option[Long],
+      removedFiles: Seq[String] = Nil): Long = {
+    require(mode == "append" || mode == "overwrite" || mode == "replace")
+    require(removedFiles.isEmpty || mode == "replace", "removedFiles requires replace mode")
     val spark = df.sparkSession
     val f = fs(spark, root)
     val parent = parentOverride.getOrElse(currentSnapshotId(spark, root).getOrElse(-1L))
@@ -245,6 +285,7 @@ object Icebergish {
     manifest.put("rows", java.lang.Long.valueOf(rows))
     manifest.put("committed_at", java.time.Instant.now().toString)
     if (partitionBy.nonEmpty) manifest.put("partition_by", partitionBy.toList.asJava)
+    if (removedFiles.nonEmpty) manifest.put("removed_files", removedFiles.toList.asJava)
     tag.foreach(manifest.put("tag", _))
     if (accTags.nonEmpty) {
       val tm = new java.util.LinkedHashMap[String, Object]()
@@ -298,16 +339,12 @@ object Icebergish {
     val id = snapshot
       .orElse(currentSnapshotId(spark, root))
       .getOrElse(sys.error(s"no current snapshot in $root"))
-    val chain = mutable.ListBuffer.empty[Snapshot]
-    var cur = id
-    var done = false
-    while (!done) {
-      val s = readManifest(spark, root, cur)
-      chain.prepend(s)
-      if (s.mode == "overwrite" || s.parent < 0) done = true else cur = s.parent
-    }
-    val parts = chain.filter(_.files.nonEmpty).map { s =>
-      val paths = s.files.map(p => s"$root/$p")
+    // group the EFFECTIVE files (replace-mode removals applied) by the
+    // snapshot that added them, so each group reads with its own basePath
+    val bySnap = effectiveFiles(chainOf(spark, root, id))
+      .groupBy(_._2).toSeq.sortBy(_._1.id)
+    val parts = bySnap.collect { case (s, files) if files.nonEmpty =>
+      val paths = files.map(_._1).map(p => s"$root/$p")
       val f = fs(spark, root)
       val reader =
         if (s.partitionBy.nonEmpty)
@@ -364,6 +401,66 @@ object Icebergish {
           .collect { case m if m.tag.isDefined => m.tag.get -> m.rows }
           .toMap
     }
+  }
+
+  /** Partition-scoped copy-on-write UPSERT: rows of `df` replace current
+    * rows with the same `keyCols` values, rewriting ONLY the partitions
+    * `df` touches — untouched partitions keep their existing files, so an
+    * upsert into one predicate of a 100 TB pred-partitioned graph table
+    * rewrites that predicate's files, not the table.
+    *
+    * Mechanics: the affected partition values (bounded — partition
+    * columns are low-cardinality by design) select the current files to
+    * drop; the merged rows (current-of-affected anti-join df on the keys,
+    * union df) commit via [[commitReplace]] in one atomic snapshot. Time
+    * travel to pre-upsert snapshots is intact (removed files stay on
+    * disk, still referenced by their adding manifests).
+    *
+    * Contract: a key must not MOVE between partition values across
+    * upserts (the rewrite is scoped to the NEW rows' partitions, so a
+    * stale copy in an untouched partition would survive) — the same
+    * pushdown caveat as any partition-scoped merge. If the live chain
+    * mixes partition specs (e.g. a legacy unpartitioned snapshot), the
+    * upsert falls back to a full copy-on-write overwrite.
+    *
+    * @return the new snapshot id
+    */
+  def upsertPartitions(
+      df: DataFrame,
+      root: String,
+      partitionBy: Seq[String],
+      keyCols: Seq[String]): Long = {
+    require(partitionBy.nonEmpty && keyCols.nonEmpty)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    val cur = currentSnapshotId(spark, root)
+    if (cur.isEmpty) return commit(df, root, "append", partitionBy)
+
+    val eff = effectiveFiles(chainOf(spark, root, cur.get))
+    if (!eff.forall(_._2.partitionBy == partitionBy)) {
+      // mixed layout: any file may hold affected rows — full COW
+      val merged = read(spark, root)
+        .join(df.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(df)
+      return commit(merged, root, "overwrite", partitionBy)
+    }
+
+    val affected: Seq[Seq[String]] = df.select(partitionBy.map(col): _*).distinct()
+      .collect().map(r => partitionBy.indices.map(i => String.valueOf(r.get(i))).toSeq).toSeq
+    val affectedSegs = affected.map(vals =>
+      partitionBy.zip(vals).map { case (c, v) => s"$c=$v" }.toSet)
+    val removed = eff.map(_._1).filter { f =>
+      val segs = f.split("/").toSet
+      affectedSegs.exists(_.subsetOf(segs))
+    }
+    val partFilter = affected
+      .map(vals => partitionBy.zip(vals).map { case (c, v) => col(c) === v }.reduce(_ && _))
+      .reduceOption(_ || _)
+      .getOrElse(org.apache.spark.sql.functions.lit(false))
+    val merged = read(spark, root).where(partFilter)
+      .join(df.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(df)
+    commitReplace(merged, root, partitionBy, removed)
   }
 
   /** Remove crashed writers' garbage: data directories referenced by NO

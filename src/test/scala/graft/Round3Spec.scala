@@ -87,6 +87,60 @@ class Round3Spec extends AnyFunSuite {
     assert((0 until 50).map(i => s"t$i").toSet.subsetOf(afterCompact))
   }
 
+  test("partition-scoped upsert rewrites only the touched partitions; history and vacuum-safety intact") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_upsert")
+    val s0 = Icebergish.commit(
+      Seq(("d1", "s1", "treated_by", "o1"), ("d2", "s2", "has_finding", "o2"),
+        ("d3", "s3", "treated_by", "o3")).toDF("doc_id", "subj", "pred", "obj"),
+      root, "append", partitionBy = Seq("pred"))
+    val filesBefore = Icebergish.fileSet(spark, root, s0)
+    val hfBefore = filesBefore.filter(_.contains("pred=has_finding"))
+    assert(hfBefore.nonEmpty)
+
+    // update d1, insert d9 — both in treated_by; has_finding untouched
+    val s1 = Icebergish.upsertPartitions(
+      Seq(("d1", "s1", "treated_by", "oNEW"), ("d9", "s9", "treated_by", "o9"))
+        .toDF("doc_id", "subj", "pred", "obj"),
+      root, partitionBy = Seq("pred"), keyCols = Seq("doc_id"))
+
+    val rows = Icebergish.read(spark, root)
+      .select("doc_id", "subj", "pred", "obj")
+      .as[(String, String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("d1", "s1", "treated_by", "oNEW"), ("d2", "s2", "has_finding", "o2"),
+      ("d3", "s3", "treated_by", "o3"), ("d9", "s9", "treated_by", "o9")))
+
+    // the untouched partition keeps its ORIGINAL files; the touched one
+    // dropped all of its old files from the live set
+    val filesAfter = Icebergish.fileSet(spark, root, s1)
+    assert(hfBefore.forall(filesAfter.contains))
+    assert(filesBefore.filter(_.contains("pred=treated_by")).forall(f => !filesAfter.contains(f)))
+    // time travel to the pre-upsert snapshot sees the original rows
+    assert(Icebergish.read(spark, root, Some(s0))
+      .select("doc_id", "obj").as[(String, String)].collect().toSet ==
+      Set(("d1", "o1"), ("d2", "o2"), ("d3", "o3")))
+    // removed files are still manifest-referenced: vacuum must not touch them
+    assert(Icebergish.vacuum(spark, root).isEmpty)
+  }
+
+  test("upsert over a mixed-layout chain falls back to a full copy-on-write overwrite") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_upsert_mixed")
+    Icebergish.commit( // legacy UNPARTITIONED snapshot
+      Seq(("d1", "s1", "treated_by", "o1")).toDF("doc_id", "subj", "pred", "obj"), root)
+    Icebergish.commit(
+      Seq(("d2", "s2", "has_finding", "o2")).toDF("doc_id", "subj", "pred", "obj"),
+      root, "append", partitionBy = Seq("pred"))
+    val s = Icebergish.upsertPartitions(
+      Seq(("d1", "s1", "treated_by", "oNEW")).toDF("doc_id", "subj", "pred", "obj"),
+      root, partitionBy = Seq("pred"), keyCols = Seq("doc_id"))
+    assert(Icebergish.readManifest(spark, root, s).mode == "overwrite")
+    assert(Icebergish.read(spark, root)
+      .select("doc_id", "obj").as[(String, String)].collect().toSet ==
+      Set(("d1", "oNEW"), ("d2", "o2")))
+  }
+
   test("vacuum removes only unreferenced staging dirs; committed and historical data survive") {
     import spark.implicits._
     val root = tmpDir("iceberg_vacuum")
