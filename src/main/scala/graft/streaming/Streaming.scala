@@ -126,12 +126,14 @@ object Streaming {
             triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"), tag = Some(tag))
           cleanup()
           // bound small-files growth: every `compactEvery` micro-batches,
-          // fold the chain into one coalesced overwrite snapshot (readers
-          // are unaffected — the pointer flip is atomic; old snapshots
-          // keep time-travel access). Cadence reads the monotonic batchId —
-          // no directory listing that grows with stream lifetime.
+          // rewrite the partitions whose live file count grew past the
+          // threshold (PARTITION-SCOPED — cold predicates keep their
+          // files; a full-table rewrite is not an option at 100 TB).
+          // Cadence reads the monotonic batchId — no directory listing
+          // that grows with stream lifetime.
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            graft.tables.Icebergish.compact(spark, triplesRoot, partitionBy = Seq("pred"))
+            graft.tables.Icebergish.compactPartitions(
+              spark, triplesRoot, partitionBy = Seq("pred"), maxFilesPerPartition = 1)
         }
         ()
       }

@@ -495,6 +495,44 @@ object Icebergish {
       .map { orphan => f.delete(new Path(dDir, orphan), true); orphan }
   }
 
+  /** PARTITION-SCOPED compaction: rewrite only the partitions whose live
+    * file count exceeds `maxFilesPerPartition`, in one atomic replace
+    * snapshot — the small-files remedy that actually works at 100 TB,
+    * where the full-table [[compact]] (rewrite everything) is not an
+    * option. Cold partitions keep their existing files; each compacted
+    * partition lands as ~one file (the rewrite repartitions by the
+    * partition columns). Falls back to full [[compact]] when the live
+    * chain mixes partition layouts.
+    *
+    * @return the new snapshot id, or the current one if nothing qualified
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      root: String,
+      partitionBy: Seq[String],
+      maxFilesPerPartition: Int = 4): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentSnapshotId(spark, root).getOrElse(sys.error(s"no current snapshot in $root"))
+    val eff = effectiveFiles(chainOf(spark, root, cur))
+    if (!eff.forall(_._2.partitionBy == partitionBy))
+      return compact(spark, root, partitionBy)
+    def partKey(f: String): Seq[String] =
+      f.split("/").toSeq.filter(seg => partitionBy.exists(c => seg.startsWith(c + "=")))
+    val byPart = eff.map(_._1).groupBy(partKey)
+    val toCompact = byPart.filter(_._2.size > maxFilesPerPartition)
+    if (toCompact.isEmpty) return cur
+    val removed = toCompact.values.flatten.toSeq
+    val filter = toCompact.keys
+      .map(_.map { seg =>
+        val Array(c, v) = seg.split("=", 2)
+        col(c) === v
+      }.reduce(_ && _))
+      .reduce(_ || _)
+    val rows = read(spark, root).where(filter)
+      .repartition(toCompact.size, partitionBy.map(col): _*)
+    commitReplace(rows, root, partitionBy, removed)
+  }
+
   /** Compact the current file set into ONE overwrite snapshot — the
     * remedy for streaming's small-files problem (every micro-batch append
     * adds a snapshot whose file count is the shuffle parallelism; after k

@@ -141,6 +141,36 @@ class Round3Spec extends AnyFunSuite {
       Set(("d1", "oNEW"), ("d2", "o2")))
   }
 
+  test("partition-scoped compaction rewrites only hot partitions; cold ones keep their files") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_pcompact")
+    // 4 tiny appends to treated_by, 1 to has_finding
+    (0 until 4).foreach { i =>
+      Icebergish.commit(Seq((s"d$i", s"s$i", "treated_by", s"o$i")).toDF("doc_id", "subj", "pred", "obj"),
+        root, "append", partitionBy = Seq("pred"))
+    }
+    Icebergish.commit(Seq(("dh", "sh", "has_finding", "oh")).toDF("doc_id", "subj", "pred", "obj"),
+      root, "append", partitionBy = Seq("pred"))
+    val before = Icebergish.read(spark, root)
+      .select("doc_id", "obj").as[(String, String)].collect().toSet
+    val sBefore = Icebergish.currentSnapshotId(spark, root).get
+    val hfFiles = Icebergish.fileSet(spark, root, sBefore).filter(_.contains("pred=has_finding"))
+
+    val sc = Icebergish.compactPartitions(spark, root, Seq("pred"), maxFilesPerPartition = 2)
+    assert(sc != sBefore)
+    assert(Icebergish.readManifest(spark, root, sc).mode == "replace")
+    val after = Icebergish.fileSet(spark, root, sc)
+    assert(after.count(_.contains("pred=treated_by")) == 1, s"treated_by not compacted: $after")
+    assert(hfFiles.forall(after.contains), "cold partition's files were rewritten")
+    assert(Icebergish.read(spark, root)
+      .select("doc_id", "obj").as[(String, String)].collect().toSet == before)
+    // nothing left over the threshold → idempotent no-op
+    assert(Icebergish.compactPartitions(spark, root, Seq("pred"), 2) == sc)
+    // time travel to the pre-compaction snapshot intact
+    assert(Icebergish.read(spark, root, Some(sBefore))
+      .select("doc_id", "obj").as[(String, String)].collect().toSet == before)
+  }
+
   test("vacuum removes only unreferenced staging dirs; committed and historical data survive") {
     import spark.implicits._
     val root = tmpDir("iceberg_vacuum")

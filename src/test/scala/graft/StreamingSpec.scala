@@ -142,7 +142,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.tables.Icebergish.currentSnapshotId(spark, outRoot) == snapBefore)
 
     // wave 2 arrives; only the new files are processed, triples accumulate;
-    // compactEvery=2 folds the 2-append chain into one overwrite snapshot
+    // compactEvery=2 rewrites the hot partitions into a REPLACE snapshot
+    // (partition-scoped — the 100 TB small-files remedy)
+    val filesBeforeCompact = graft.tables.Icebergish.fileSet(
+      spark, outRoot, graft.tables.Icebergish.currentSnapshotId(spark, outRoot).get).size
     val g2 = DocsGen.gen(spark, 40, seed = 22)
     val docs2 = DocsGen.docs(g2).map(d => d.copy(doc_id = d.doc_id + "-w2"))
     docs2.write.mode("append").parquet(srcDir)
@@ -151,7 +154,11 @@ class StreamingSpec extends AnyFunSuite {
     val batch2 = tripleSet(graft.pipeline.KgPipeline.run(docs2, lex).toDF())
     assert(tripleSet(graft.tables.Icebergish.read(spark, outRoot)) == batch1 ++ batch2)
     val cur = graft.tables.Icebergish.currentSnapshotId(spark, outRoot).get
-    assert(graft.tables.Icebergish.readManifest(spark, outRoot, cur).mode == "overwrite")
+    assert(graft.tables.Icebergish.readManifest(spark, outRoot, cur).mode == "replace")
+    // compaction shrank the live file set to ~one file per predicate
+    // even though wave 2 ADDED a snapshot of files
+    val filesAfter = graft.tables.Icebergish.fileSet(spark, outRoot, cur).size
+    assert(filesAfter <= math.max(filesBeforeCompact, 5), s"$filesBeforeCompact -> $filesAfter files")
     lex.unpersist()
   }
 
