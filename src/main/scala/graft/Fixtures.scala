@@ -153,6 +153,16 @@ object Fixtures {
     write(docs.map { case (id, t) => (id, TextAnalysis.languageId(t)) }
       .toDF("doc_id", "lang_pred"), "expected_langid")
 
+    // curation sample-gate replica: ids passing the seeded per-id gate at
+    // their locally-predicted language's rate. Stages 1-3 of the funnel
+    // (normalized dedup, language filter, quality threshold) are fully
+    // SQL-derivable in the q_docs_curation oracle; the gate draw is not.
+    write(docs.flatMap { case (id, t) =>
+      val lang = TextAnalysis.languageId(if (t == null) "" else t)
+      val rate = Map("en" -> 0.8, "zh" -> 1.0).getOrElse(lang, 0.6)
+      if (Hashing.uniformDouble(Hashing.hash2(0xCA7EL, id)) < rate) Some(id) else None
+    }.toDF("doc_id"), "expected_curation_gate")
+
     // simhash near-dup pairs replica: pigeonhole banding (4 bands × 16
     // bits), bucket cap, exact hamming verify — over docs ∪ planted copies
     val shCorpus = docs.map { case (id, t) => id -> Dedup.simhash(if (t == null) "" else t) } ++

@@ -273,6 +273,24 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "q_docs_curation" -> ((s, dir) => {
+      // the composed curation funnel: normalized dedup → predicted-lang
+      // filter → quality threshold → per-language sampling, one pass
+      graft.ops.Curation.curate(s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        allowedLangs = Set("en", "zh"), minQuality = 0.5,
+        sampleRates = Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.6, seed = 0xCA7EL)
+        .orderBy("doc_id")
+    }),
+    "kg_khop" -> ((s, dir) => {
+      // 2-hop neighborhood of the hub concept over the constructed KG —
+      // iterative broadcast-frontier BFS vs a recursive-SQL oracle
+      import s.implicits._
+      val (_, docs) = goldAndDocs(s, dir)
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+      val seed = lexicon(s).filter(col("surface") === DocsGen.HubSurface)
+        .select("concept_id").as[String].head()
+      graft.graph.GraphOps.kHop(triples, Seq(seed), 2).orderBy("node")
+    }),
     "q_docs_stratified_sample" -> ((s, dir) => {
       // deterministic data mixing (per-language sampling rates): the gate
       // is a pure function of (seed, doc_id), so the sample is identical
@@ -995,6 +1013,45 @@ object SparkEntry {
       s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
     "q_docs_stratified_sample" ->
       s"""SELECT doc_id FROM ${fx("expected_stratified_sample")} ORDER BY doc_id""",
+    "q_docs_curation" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, text, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+         |  FROM documents),
+         |surv AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM norm)
+         |  WHERE rn = 1),
+         |q AS (SELECT doc_id FROM documents
+         |  WHERE round(least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.5
+         |    + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+         |          / greatest(length(text), 1), 6) * 10, 1.0)) * 0.25
+         |    + least(round(len(list_filter(string_split(trim(text), ' '),
+         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+         |          / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 4) >= 0.5),
+         |lang AS (SELECT doc_id FROM ${fx("expected_langid")} WHERE lang_pred IN ('en', 'zh')),
+         |gate AS (SELECT doc_id FROM ${fx("expected_curation_gate")})
+         |SELECT d.doc_id FROM documents d
+         |JOIN surv USING (doc_id) JOIN q USING (doc_id)
+         |JOIN lang USING (doc_id) JOIN gate USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "kg_khop" ->
+      s"""WITH RECURSIVE $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |r(st, ot, pred) AS (VALUES
+         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
+         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
+         |  ('Diseases','Operation','treated_with')),
+         |t AS (SELECT DISTINCT a.concept_id AS subj, b.concept_id AS obj
+         |      FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
+         |e AS (SELECT subj AS src, obj AS dst FROM t UNION SELECT obj, subj FROM t),
+         |reach(node, hops) AS (
+         |  SELECT concept_id, 0 FROM lex WHERE surface = '高血压病'
+         |  UNION ALL
+         |  SELECT e.dst, reach.hops + 1 FROM reach JOIN e ON e.src = reach.node
+         |  WHERE reach.hops < 2)
+         |SELECT node, MIN(hops) AS hops FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ${fx("expected_simhash")} ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

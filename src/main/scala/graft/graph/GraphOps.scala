@@ -83,4 +83,42 @@ object GraphOps {
     e.unpersist(); outDeg.unpersist(); nodes.unpersist()
     ranks
   }
+
+  /** k-hop BFS levels from seed nodes over the UNDIRECTED view of the
+    * edge table: (node, hops) with hops = the node's BFS level (minimum
+    * edge count from any seed), hops ≤ k. Each round joins the SMALL
+    * frontier (broadcast — an analytic seed set stays bounded) against
+    * the edge table and anti-joins the visited set; the big table never
+    * shuffles for the traversal and lineage is truncated per round.
+    * Oracle-checked against a recursive-SQL reachability (kg_khop).
+    */
+  def kHop(
+      edges: DataFrame,
+      seeds: Seq[String],
+      k: Int,
+      srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var visited = seeds.toDF("node").withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = visited.select("node")
+    var i = 1
+    while (i <= k && !frontier.isEmpty) {
+      val next = bi
+        .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(i))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+      i += 1
+    }
+    bi.unpersist()
+    visited
+  }
 }

@@ -499,6 +499,35 @@ class Round3Spec extends AnyFunSuite {
     assert(math.abs(folds(0).size / 20000.0 - 0.7) < 0.02)
   }
 
+  // ------------------------------------------------------------ graph k-hop
+
+  test("kHop assigns exact BFS levels, stops at k, and treats edges as undirected") {
+    import spark.implicits._
+    // path a-b-c-d-e plus a side branch b-x; seed at a, k=2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "b"))
+      .toDF("subj", "obj")
+    val levels = graft.graph.GraphOps.kHop(edges, Seq("a"), 2)
+      .as[(String, Int)].collect().toMap
+    assert(levels == Map("a" -> 0, "b" -> 1, "c" -> 2, "x" -> 2)) // d,e beyond 2 hops
+    // undirected: seeding at e reaches d then c
+    val fromE = graft.graph.GraphOps.kHop(edges, Seq("e"), 2)
+      .as[(String, Int)].collect().toMap
+    assert(fromE == Map("e" -> 0, "d" -> 1, "c" -> 2))
+  }
+
+  test("curation funnel is deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.curate(df, "doc_id", "text",
+        allowedLangs = Set("en", "zh"), minQuality = 0.5,
+        sampleRates = Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.6, seed = 0xCA7EL)
+        .as[Long].collect().toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+  }
+
   // ------------------------------------------------- native SimHash64 expr
 
   test("SimHash64 native expression equals the scalar kernel, works in SQL, and stays in codegen") {
