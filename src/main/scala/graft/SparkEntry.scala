@@ -273,6 +273,37 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     }),
+    "q_docs_length_quantiles" -> ((s, dir) => {
+      // EXACT interpolated percentiles (not approx_percentile): both
+      // engines implement the standard p*(n-1) linear interpolation
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("lang")
+        .agg(
+          expr("round(percentile(n_chars, 0.25), 4)").as("p25"),
+          expr("round(percentile(n_chars, 0.5), 4)").as("p50"),
+          expr("round(percentile(n_chars, 0.75), 4)").as("p75"),
+          expr("round(percentile(n_chars, 0.95), 4)").as("p95"))
+        .orderBy("lang")
+    }),
+    "q_docs_rollup" -> ((s, dir) => {
+      // multi-dimensional aggregation: ROLLUP over (source, lang) —
+      // per-combo rows + per-source subtotals + the grand total in one
+      // pass (Catalyst expands to a single Expand+partial-agg plan)
+      s.read.parquet(t(dir, "documents"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+    "q_events_pivot" -> ((s, dir) => {
+      // PIVOT: per-user event counts spread over the bounded event-type
+      // domain (missing combos filled with 0 to match COUNT FILTER)
+      s.read.parquet(t(dir, "events"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
     "q_docs_curation" -> ((s, dir) => {
       // the composed curation funnel: normalized dedup → predicted-lang
       // filter → quality threshold → per-language sampling, one pass
@@ -1013,6 +1044,24 @@ object SparkEntry {
       s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
     "q_docs_stratified_sample" ->
       s"""SELECT doc_id FROM ${fx("expected_stratified_sample")} ORDER BY doc_id""",
+    "q_docs_length_quantiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_docs_rollup" ->
+      """SELECT source, lang, count(*) AS n, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+    "q_events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_docs_curation" ->
       s"""WITH norm AS (
          |  SELECT doc_id, text, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
