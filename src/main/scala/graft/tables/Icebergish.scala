@@ -86,6 +86,31 @@ object Icebergish {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomically claim snapshot `id` for this writer. On `file://` the
+    * exclusive primitive is `mkdir` (the syscall fails EEXIST — exactly
+    * one caller gets `true`); on HDFS-like stores `create(overwrite =
+    * false)` is an atomic namespace operation. A claim whose writer
+    * crashed before its manifest landed is broken after a 60 s lease:
+    * no manifest for the id + old lock ⇒ delete and re-claim (otherwise
+    * a claimant crash would brick the id forever).
+    */
+  private def claimId(f: FileSystem, root: String, id: Long): Boolean = {
+    val lockPath = new Path(root, s"manifests/.lock-snap-$id")
+    def tryOnce(): Boolean =
+      if (f.getUri.getScheme == "file") new java.io.File(f.makeQualified(lockPath).toUri).mkdir()
+      else
+        try { f.create(lockPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    if (tryOnce()) true
+    else if (!f.exists(new Path(root, s"manifests/snap-$id.json"))) {
+      // the claimant may have crashed pre-manifest: break a stale lease
+      val age =
+        try System.currentTimeMillis() - f.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.IOException => 0L }
+      if (age > 60000L) { f.delete(lockPath, true); tryOnce() } else false
+    } else false
+  }
+
   private def maxManifestId(f: FileSystem, root: String): Option[Long] = {
     val mDir = new Path(root, "manifests")
     if (!f.exists(mDir)) None
@@ -109,13 +134,18 @@ object Icebergish {
   def currentSnapshotId(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     val p = new Path(root, "current")
-    val fromPointer =
+    // the pointer is advisory: a torn read (concurrent flip mid-swap on a
+    // checksummed local FS — data and .crc replaced non-atomically) or
+    // garbled content must never fail a reader; the manifest listing is
+    // the ground truth the max-rule falls back on
+    val fromPointer = scala.util.Try {
       if (!f.exists(p)) None
       else {
         val in = f.open(p)
         try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
         finally in.close()
       }
+    }.toOption.flatten
     (fromPointer.toSeq ++ maxManifestId(f, root).toSeq).maxOption
   }
 
@@ -296,17 +326,20 @@ object Icebergish {
 
     f.mkdirs(new Path(root, "manifests"))
     val manifestPath = new Path(root, s"manifests/snap-$id.json")
-    // COMMIT POINT: atomic create-if-absent. A concurrent winner already
-    // holds this id → typed failure, own staging removed, table untouched.
-    val out =
-      try f.create(manifestPath, false)
-      catch {
-        case e: java.io.IOException =>
-          f.delete(dataDir, true)
-          throw new ConcurrentCommitException(
-            s"snapshot $id already committed by a concurrent writer (root=$root); " +
-              "re-read the current snapshot and retry", e)
-      }
+    // COMMIT POINT: atomically CLAIM the id before writing the manifest.
+    // A bare create(path, overwrite=false) is NOT atomic on local
+    // filesystems (RawLocalFileSystem does exists-then-create, so two
+    // racing writers can both "win" an id and one silently overwrites
+    // the other — observed data loss under a multi-threaded commit
+    // storm); the claim uses a primitive that IS exclusive per store.
+    if (!claimId(f, root, id)) {
+      f.delete(dataDir, true)
+      throw new ConcurrentCommitException(
+        s"snapshot $id already claimed by a concurrent writer (root=$root); " +
+          "re-read the current snapshot and retry", null)
+    }
+    // we own the id now: overwrite=true is safe and checksum-consistent
+    val out = f.create(manifestPath, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
     finally out.close()
 
@@ -323,8 +356,25 @@ object Icebergish {
     val cur = new Path(root, "current")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.makeQualified(new Path(root)).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(cur),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // The pointer is a fast path, NOT the source of truth — readers
+    // resolve max(pointer, manifests), so a stale (lower-id) pointer is
+    // always safe. CONCURRENT flips can race inside rename(OVERWRITE)'s
+    // delete+rename on some filesystems (observed on LocalFs under a
+    // multi-threaded commit storm): retry briefly, then give up and
+    // clean the tmp — the committed manifest already made this snapshot
+    // visible, and a later commit will advance the pointer.
+    var flipped = false
+    var attempts = 0
+    while (!flipped && attempts < 5) {
+      try {
+        fc.rename(f.makeQualified(tmp), f.makeQualified(cur),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        flipped = true
+      } catch {
+        case _: java.io.IOException => attempts += 1
+      }
+    }
+    if (!flipped) f.delete(tmp, false)
     id
   }
 

@@ -244,6 +244,63 @@ class Round3Spec extends AnyFunSuite {
     lex.unpersist()
   }
 
+  test("true concurrent committers: every loser gets a typed error, retries, and no row is lost") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_threads")
+    val perThread = 6
+    val threads = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val futs = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until perThread).foreach { i =>
+            var done = false
+            while (!done) {
+              try {
+                Icebergish.commit(Seq((t * 100 + i, s"w$t-$i")).toDF("id", "v"), root, "append")
+                done = true
+              } catch {
+                case _: ConcurrentCommitException => losses.incrementAndGet() // retry on the winner
+              }
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    // no losses of DATA: every row committed exactly once, chain consistent
+    val rows = Icebergish.read(spark, root).select("id").as[Int].collect().toSet
+    assert(rows.size == threads * perThread, s"lost rows: ${rows.size}/${threads * perThread}")
+    assert(Icebergish.currentSnapshotId(spark, root).contains((threads * perThread - 1).toLong))
+    // staged leftovers from lost races are vacuumable garbage, not corruption
+    Icebergish.vacuum(spark, root)
+    assert(Icebergish.read(spark, root).count() == threads * perThread)
+    info(s"commit races lost and retried: ${losses.get()}")
+  }
+
+  test("streaming metadata stays O(1) per micro-batch over a 12-batch drain") {
+    import spark.implicits._
+    val srcDir = tmpDir("kg_meta_src")
+    val outRoot = tmpDir("kg_meta_out") + "/triples"
+    val ckpt = tmpDir("kg_meta_ckpt") + "/ckpt"
+    val lex = graft.data.Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+    val g = graft.data.DocsGen.gen(spark, 120, seed = 51)
+    graft.data.DocsGen.docs(g).repartition(12).write.mode("append").parquet(srcDir)
+
+    val before = Icebergish.manifestReadCount.get()
+    Streaming.kgStream(
+      Streaming.docsStream(spark, srcDir, maxFilesPerTrigger = 1), lex, outRoot, ckpt)
+      .awaitTermination()
+    val reads = Icebergish.manifestReadCount.get() - before
+    val batches = Icebergish.committedTags(spark, outRoot).count(_.startsWith("batch-"))
+    assert(batches >= 12)
+    // the r2 design read ALL manifests per batch (~batches²/2 ≈ 70+ reads
+    // by batch 12); the roll-up reads O(1) per batch
+    assert(reads <= batches * 5, s"$reads manifest reads over $batches batches — not O(1)/batch")
+    lex.unpersist()
+  }
+
   test("kgStream with maxFilesPerTrigger bounds micro-batches: several idempotent commits per drain") {
     import spark.implicits._
     val srcDir = tmpDir("kg_rate_src")
