@@ -497,8 +497,11 @@ object Icebergish {
 
     val affected: Seq[Seq[String]] = df.select(partitionBy.map(col): _*).distinct()
       .collect().map(r => partitionBy.indices.map(i => String.valueOf(r.get(i))).toSeq).toSeq
+    // hive escaping (spaces, slashes, '=') via Spark's own rule, so the
+    // path-segment match agrees with what partitionBy-writes produce
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
     val affectedSegs = affected.map(vals =>
-      partitionBy.zip(vals).map { case (c, v) => s"$c=$v" }.toSet)
+      partitionBy.zip(vals).map { case (c, v) => s"$c=${esc(v)}" }.toSet)
     val removed = eff.map(_._1).filter { f =>
       val segs = f.split("/").toSet
       affectedSegs.exists(_.subsetOf(segs))
@@ -575,7 +578,8 @@ object Icebergish {
     val filter = toCompact.keys
       .map(_.map { seg =>
         val Array(c, v) = seg.split("=", 2)
-        col(c) === v
+        // segments carry hive-ESCAPED values; compare against the real one
+        col(c) === org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
       }.reduce(_ && _))
       .reduce(_ || _)
     val rows = read(spark, root).where(filter)

@@ -124,6 +124,27 @@ class Round3Spec extends AnyFunSuite {
     assert(Icebergish.vacuum(spark, root).isEmpty)
   }
 
+  test("upsert and partition compaction handle hive-escaped partition values") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_escape")
+    // a partition value needing hive escaping (space)
+    (0 until 3).foreach { i =>
+      Icebergish.commit(
+        Seq((s"d$i", "treated by", s"o$i")).toDF("doc_id", "pred", "obj"),
+        root, "append", partitionBy = Seq("pred"))
+    }
+    val s1 = Icebergish.upsertPartitions(
+      Seq(("d0", "treated by", "oNEW")).toDF("doc_id", "pred", "obj"),
+      root, partitionBy = Seq("pred"), keyCols = Seq("doc_id"))
+    assert(Icebergish.readManifest(spark, root, s1).mode == "replace")
+    assert(Icebergish.read(spark, root)
+      .select("doc_id", "obj").as[(String, String)].collect().toSet ==
+      Set(("d0", "oNEW"), ("d1", "o1"), ("d2", "o2")))
+    val sc = Icebergish.compactPartitions(spark, root, Seq("pred"), maxFilesPerPartition = 1)
+    assert(Icebergish.fileSet(spark, root, sc).size == 1)
+    assert(Icebergish.read(spark, root).count() == 3)
+  }
+
   test("upsert over a mixed-layout chain falls back to a full copy-on-write overwrite") {
     import spark.implicits._
     val root = tmpDir("iceberg_upsert_mixed")
