@@ -1053,7 +1053,8 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_docs_rollup" ->
       """SELECT source, lang, count(*) AS n, sum(n_chars) AS total_chars
-        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "q_events_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

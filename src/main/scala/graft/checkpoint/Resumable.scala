@@ -101,15 +101,25 @@ object Resumable {
     import spark.implicits._
 
     val tagPrefix = s"chunk-$jobId-"
+    // STRICT ownership pattern: the remainder must be purely numeric, so
+    // another job whose jobId merely extends this one with a hyphen
+    // ("kg-backfill" vs "kg") can never crash the parse or be claimed
+    val ownTag = ("^" + java.util.regex.Pattern.quote(tagPrefix) + "(\\d+)$").r
+    // legacy tables (pre-jobId-scoping) tagged chunks "chunk-<n>"; those
+    // belong to the single implicit job of that era and are honored by
+    // its continuation — the DEFAULT jobId only
+    val legacyTag = if (jobId == "kg") Some("^chunk-(\\d+)$".r) else None
     val staging = stagingDir.getOrElse(s"$progressRoot/_staging")
     val progressed = completedChunks(spark, progressRoot)
     // chunks whose DATA commit succeeded (manifest tag) but whose progress
     // row is missing — the crash-between-commit-and-progress window
     val tagRows: Map[Int, Long] =
       if (!Icebergish.exists(spark, triplesRoot)) Map.empty
-      else Icebergish.tagRows(spark, triplesRoot).collect {
-        case (t, rows) if t.startsWith(tagPrefix) => t.stripPrefix(tagPrefix).toInt -> rows
-      }
+      else Icebergish.tagRows(spark, triplesRoot).toSeq.collect {
+        case (ownTag(n), rows) => n.toInt -> rows
+        case (t, rows) if legacyTag.exists(_.matches(t)) =>
+          legacyTag.get.findFirstMatchIn(t).get.group(1).toInt -> rows
+      }.toMap
     val done = progressed ++ tagRows.keySet
     val out = Seq.newBuilder[ChunkProgress]
     var executed = 0

@@ -171,12 +171,20 @@ object Dedup {
   def nearDupClusters(
       pairs: DataFrame, // (id_a, id_b, …) long ids, e.g. from minhashPairs
       driverMaxEdges: Long = 100000L): DataFrame = {
-    val pad = udf((id: Long) => f"$id%020d")
+    // order-preserving for the FULL signed range: map through unsigned
+    // space (x ^ Long.MinValue is a monotone bijection signed→unsigned),
+    // then zero-pad — a plain f"%020d" would order negative ids
+    // backwards lexicographically and crown the wrong survivor
+    val pad = udf((id: Long) => {
+      val u = java.lang.Long.toUnsignedString(id ^ Long.MinValue)
+      ("0" * (20 - u.length)) + u
+    })
+    val unpad = udf((s: String) => java.lang.Long.parseUnsignedLong(s) ^ Long.MinValue)
     val edges = pairs.select(pad(col("id_a")).as("src"), pad(col("id_b")).as("dst"))
     graft.canon.Canon.connectedComponents(edges, driverMaxEdges = driverMaxEdges)
       .select(
-        col("node").cast("long").as("id"),
-        col("component").cast("long").as("keep_id"))
+        unpad(col("node")).as("id"),
+        unpad(col("component")).as("keep_id"))
   }
 
   /** Drop near-duplicates: keep one doc per cluster (the min id) plus all

@@ -110,16 +110,21 @@ object Streaming {
     val freshCheckpoint = !cfs.exists(offsets) || cfs.listStatus(offsets).isEmpty
     if (freshCheckpoint && graft.tables.Icebergish.exists(spark0, triplesRoot) &&
       graft.tables.Icebergish.committedTags(spark0, triplesRoot)
-        .exists(_.startsWith(s"batch-$writerId-")))
+        .exists(t => t.startsWith(s"batch-$writerId-") || t.matches("batch-\\d+")))
       throw new IllegalStateException(
         s"fresh checkpoint at $checkpoint but $triplesRoot already holds commits from " +
-          s"writer $writerId: restarting batch ids at 0 would silently skip new data. " +
-          "Keep the original checkpoint, or pass a new appId for a genuinely new ingestion.")
+          s"writer $writerId (or a pre-scoping legacy stream): restarting batch ids at 0 " +
+          "would silently skip new data. Keep the original checkpoint, or pass a new " +
+          "appId for a genuinely new ingestion.")
     docs.writeStream
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
         val spark = batch.sparkSession
         val tag = s"batch-$writerId-$batchId"
-        val done = graft.tables.Icebergish.committedTags(spark, triplesRoot).contains(tag)
+        val tags = graft.tables.Icebergish.committedTags(spark, triplesRoot)
+        // legacy compat: a batch committed as "batch-<n>" before tags were
+        // writer-scoped must still dedupe its own re-delivery across the
+        // upgrade (pre-scoping tables had a single writer by construction)
+        val done = tags.contains(tag) || tags.contains(s"batch-$batchId")
         if (!done) {
           val (triples, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(batch, lexicon)
           graft.tables.Icebergish.commit(

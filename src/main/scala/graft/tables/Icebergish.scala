@@ -90,12 +90,17 @@ object Icebergish {
     * exclusive primitive is `mkdir` (the syscall fails EEXIST — exactly
     * one caller gets `true`); on HDFS-like stores `create(overwrite =
     * false)` is an atomic namespace operation. A claim whose writer
-    * crashed before its manifest landed is broken after a 60 s lease:
-    * no manifest for the id + old lock ⇒ delete and re-claim (otherwise
-    * a claimant crash would brick the id forever).
+    * crashed before its manifest landed is broken after a 60 s lease via
+    * an atomic rename (otherwise a claimant crash would brick the id
+    * forever). Locks are NEVER deleted on success — the claim must stay
+    * exclusive for the table's lifetime (releasing it would let a
+    * stale-parent writer re-claim a committed id and overwrite its
+    * manifest) — and live under `locks/`, not `manifests/`, so they
+    * cost nothing to the manifest-listing hot path.
     */
   private def claimId(f: FileSystem, root: String, id: Long): Boolean = {
-    val lockPath = new Path(root, s"manifests/.lock-snap-$id")
+    val lockPath = new Path(root, s"locks/snap-$id")
+    f.mkdirs(new Path(root, "locks"))
     def tryOnce(): Boolean =
       if (f.getUri.getScheme == "file") new java.io.File(f.makeQualified(lockPath).toUri).mkdir()
       else
@@ -103,11 +108,24 @@ object Icebergish {
         catch { case _: java.io.IOException => false }
     if (tryOnce()) true
     else if (!f.exists(new Path(root, s"manifests/snap-$id.json"))) {
-      // the claimant may have crashed pre-manifest: break a stale lease
+      // the claimant may have crashed pre-manifest: break a stale lease.
+      // The break itself must be ATOMIC — two breakers who both see an
+      // expired lease must not both proceed (delete-then-claim would let
+      // them double-claim). Breaking = RENAMING the old lock to a
+      // nonce'd name: rename's source disappears atomically, so exactly
+      // one breaker succeeds; the loser falls back to the normal
+      // lost-the-race path.
       val age =
         try System.currentTimeMillis() - f.getFileStatus(lockPath).getModificationTime
         catch { case _: java.io.IOException => 0L }
-      if (age > 60000L) { f.delete(lockPath, true); tryOnce() } else false
+      if (age > 60000L) {
+        val breakName = new Path(root,
+          s"locks/snap-$id.broken-${java.util.UUID.randomUUID().toString.take(8)}")
+        val broke =
+          try f.rename(lockPath, breakName)
+          catch { case _: java.io.IOException => false }
+        if (broke) { f.delete(breakName, true); tryOnce() } else false
+      } else false
     } else false
   }
 
@@ -483,16 +501,27 @@ object Icebergish {
     require(partitionBy.nonEmpty && keyCols.nonEmpty)
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
+    // __HIVE_DEFAULT_PARTITION__ (null partition values) is out of the
+    // path-matching contract — refuse loudly instead of leaving stale
+    // duplicates behind
+    require(df.filter(partitionBy.map(c => col(c).isNull).reduce(_ || _)).isEmpty,
+      "upsertPartitions requires non-null partition values")
     val cur = currentSnapshotId(spark, root)
     if (cur.isEmpty) return commit(df, root, "append", partitionBy)
+    // PIN the whole operation to this base snapshot: removed files,
+    // merged rows, AND the commit parent all come from `base`, so a
+    // concurrent commit landing in between collides on base+1's claim
+    // and surfaces as ConcurrentCommitException (retry) instead of
+    // silently duplicating or dropping its rows
+    val base = cur.get
 
-    val eff = effectiveFiles(chainOf(spark, root, cur.get))
+    val eff = effectiveFiles(chainOf(spark, root, base))
     if (!eff.forall(_._2.partitionBy == partitionBy)) {
       // mixed layout: any file may hold affected rows — full COW
-      val merged = read(spark, root)
+      val merged = read(spark, root, Some(base))
         .join(df.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(df)
-      return commit(merged, root, "overwrite", partitionBy)
+      return commitWithParent(merged, root, "overwrite", partitionBy, None, Some(base))
     }
 
     val affected: Seq[Seq[String]] = df.select(partitionBy.map(col): _*).distinct()
@@ -510,10 +539,10 @@ object Icebergish {
       .map(vals => partitionBy.zip(vals).map { case (c, v) => col(c) === v }.reduce(_ && _))
       .reduceOption(_ || _)
       .getOrElse(org.apache.spark.sql.functions.lit(false))
-    val merged = read(spark, root).where(partFilter)
+    val merged = read(spark, root, Some(base)).where(partFilter)
       .join(df.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(df)
-    commitReplace(merged, root, partitionBy, removed)
+    commitWithParent(merged, root, "replace", partitionBy, None, Some(base), removed)
   }
 
   /** Remove crashed writers' garbage: data directories referenced by NO
@@ -582,9 +611,12 @@ object Icebergish {
         col(c) === org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
       }.reduce(_ && _))
       .reduce(_ || _)
-    val rows = read(spark, root).where(filter)
+    // pinned to `cur` like upsertPartitions: a concurrent commit between
+    // the file census and this commit collides on cur+1's claim and
+    // raises ConcurrentCommitException instead of duplicating its rows
+    val rows = read(spark, root, Some(cur)).where(filter)
       .repartition(toCompact.size, partitionBy.map(col): _*)
-    commitReplace(rows, root, partitionBy, removed)
+    commitWithParent(rows, root, "replace", partitionBy, None, Some(cur), removed)
   }
 
   /** Compact the current file set into ONE overwrite snapshot — the
