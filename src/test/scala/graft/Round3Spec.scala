@@ -192,6 +192,60 @@ class Round3Spec extends AnyFunSuite {
       .select("doc_id", "obj").as[(String, String)].collect().toSet == before)
   }
 
+  test("model-based: random append/upsert/overwrite/compact sequences match an in-memory model, including time travel") {
+    import spark.implicits._
+    val preds = Seq("treated_by", "has_finding", "located_in")
+    val rnd = new scala.util.Random(20260817L)
+    def predOf(key: Int) = preds(math.abs(key) % preds.length) // keys never move partitions
+    val root = tmpDir("iceberg_model")
+    val model = scala.collection.mutable.Map.empty[Int, String] // doc key -> obj
+    val history = scala.collection.mutable.ListBuffer.empty[(Long, Map[Int, String])]
+    var nextKey = 0
+
+    def toDf(rows: Map[Int, String]) =
+      rows.toSeq.map { case (k, o) => (s"d$k", predOf(k), o) }.toDF("doc_id", "pred", "obj")
+    def tableState(): Map[Int, String] =
+      Icebergish.read(spark, root).select("doc_id", "obj")
+        .as[(String, String)].collect().toMap
+        .map { case (d, o) => d.stripPrefix("d").toInt -> o }
+
+    (0 until 18).foreach { step =>
+      val op = rnd.nextInt(10)
+      val id: Long =
+        if (step == 0 || op <= 3) { // append fresh keys
+          val fresh = (0 until (1 + rnd.nextInt(3))).map { _ =>
+            nextKey += 1; nextKey -> s"o$step-$nextKey"
+          }.toMap
+          model ++= fresh
+          Icebergish.commit(toDf(fresh), root, "append", partitionBy = Seq("pred"))
+        } else if (op <= 6 && model.nonEmpty) { // upsert: update some + insert one
+          val updates = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+            .map(k => k -> s"u$step-$k").toMap
+          nextKey += 1
+          val batch = updates + (nextKey -> s"o$step-$nextKey")
+          model ++= batch
+          Icebergish.upsertPartitions(toDf(batch), root, Seq("pred"), Seq("doc_id"))
+        } else if (op == 7) { // overwrite with a fresh small set
+          model.clear()
+          nextKey += 1
+          model += nextKey -> s"w$step"
+          Icebergish.commit(toDf(model.toMap), root, "overwrite", partitionBy = Seq("pred"))
+        } else { // partition-scoped compaction (may be a no-op)
+          Icebergish.compactPartitions(spark, root, Seq("pred"), maxFilesPerPartition = 2)
+        }
+      assert(tableState() == model.toMap, s"divergence after step $step (op $op)")
+      history += ((id, model.toMap))
+    }
+    // time travel: every recorded snapshot still reads as its model did
+    rnd.shuffle(history.toSeq).take(6).foreach { case (snap, expected) =>
+      val got = Icebergish.read(spark, root, Some(snap)).select("doc_id", "obj")
+        .as[(String, String)].collect().toMap
+        .map { case (d, o) => d.stripPrefix("d").toInt -> o }
+      assert(got == expected, s"time travel to $snap diverged")
+    }
+    assert(Icebergish.vacuum(spark, root).isEmpty) // nothing unreferenced
+  }
+
   test("vacuum removes only unreferenced staging dirs; committed and historical data survive") {
     import spark.implicits._
     val root = tmpDir("iceberg_vacuum")
