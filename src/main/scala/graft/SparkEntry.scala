@@ -500,6 +500,38 @@ object SparkEntry {
           max("n_events").as("longest_session"))
         .orderBy("user_id")
     }),
+    "q_events_asof" -> ((s, dir) => {
+      // AS-OF JOIN: each view event picks up the latest prior purchase
+      // value of its user — union-tag + keyed window, one shuffle, vs
+      // DuckDB's native ASOF JOIN as the oracle
+      val e = s.read.parquet(t(dir, "events"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"), col("event_id"))
+        .groupBy("user_id", "ts_us") // dedupe equal-ts purchases deterministically
+        .agg(max_by(col("value"), col("event_id")).as("pvalue"))
+      graft.ops.Temporal.asOfJoin(views, purchases, "user_id", "ts_us", "pvalue")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("pvalue_asof"), 6).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+    "q_events_range_join" -> ((s, dir) => {
+      // RANGE JOIN via time-bucketing: events within ±5 min of each
+      // error event, same user — equi-join on (user, coarse bucket) +
+      // exact filter; never a cartesian/BNLJ
+      val e = s.read.parquet(t(dir, "events"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Temporal.rangeJoinCount(
+        errors, e.select(col("user_id"), col("ts")), "user_id", "event_id",
+        unix_micros(col("ts").cast("timestamp")),
+        unix_micros(col("ts").cast("timestamp")),
+        rangeUs = 300L * 1000000L)
+        .orderBy("event_id")
+    }),
     "q_events_session_window" -> ((s, dir) => {
       // Spark's NATIVE gap-session operator, cross-validating the manual
       // sessionization (q_events_sessionize) against the same DuckDB
@@ -749,6 +781,23 @@ object SparkEntry {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_asof" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max_by(value, event_id) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.ts_us, round(p.pvalue, 6) AS last_purchase_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+        |ORDER BY v.event_id""".stripMargin,
+    "q_events_range_join" ->
+      """WITH er AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
+        |al AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT er.event_id, er.user_id, er.ts_us, count(*) AS n_in_range
+        |FROM er JOIN al ON er.user_id = al.user_id
+        |  AND abs(al.ts_us - er.ts_us) <= 300 * 1000000
+        |GROUP BY 1, 2, 3 ORDER BY er.event_id""".stripMargin,
     // the native session_window derivation must land on the SAME answer
     "q_events_session_window" ->
       """WITH o AS (

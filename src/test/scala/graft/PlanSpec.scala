@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
       "IVF degenerated to an all-pairs join")
   }
 
+  test("as-of join windows are key-partitioned; the bucketed range join never degenerates to a cartesian") {
+    val asof = plan(SparkEntry.queries("q_events_asof")(spark, sf))
+    val asofWindows = asof.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(asofWindows.nonEmpty && asofWindows.forall(_.contains("user_id")),
+      s"as-of window not keyed by user:\n${asofWindows.mkString("\n")}")
+    val range = plan(SparkEntry.queries("q_events_range_join")(spark, sf))
+    assert(!range.contains("CartesianProduct") && !range.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to an all-pairs join")
+  }
+
   test("canonicalize joins the component mapping by broadcast, not shuffle") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

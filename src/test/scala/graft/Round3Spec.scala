@@ -620,6 +620,31 @@ class Round3Spec extends AnyFunSuite {
     lex128.unpersist()
   }
 
+  // ---------------------------------------------------------- temporal joins
+
+  test("asOfJoin picks the latest right row at-or-before each left timestamp; rangeJoinCount hits exact bounds") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    val left = Seq((1L, "u", 100L), (2L, "u", 250L), (3L, "u", 50L), (4L, "v", 500L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(("u", 100L, 1.0), ("u", 200L, 2.0), ("v", 600L, 9.0))
+      .toDF("user_id", "ts_us", "pvalue")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts_us", "pvalue")
+      .select("event_id", "pvalue_asof")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // equal-ts right row matches (inclusive); no prior row → null
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+
+    // range join: exact ±range boundary is INCLUDED; bucket edges covered
+    val errs = Seq((10L, "u", 1000000L)).toDF("event_id", "user_id", "ts_us")
+    val evts = Seq(("u", 0L), ("u", 1000000L), ("u", 2000000L), ("u", 2000001L), ("v", 1000000L))
+      .toDF("user_id", "ts_us")
+    val n = Temporal.rangeJoinCount(errs, evts, "user_id", "event_id",
+      col("ts_us"), col("ts_us"), rangeUs = 1000000L)
+      .select("n_in_range").as[Long].head()
+    assert(n == 3) // 0, 1000000, 2000000 in range; 2000001 out; other user out
+  }
+
   // ----------------------------------------------- sessionization x-check
 
   test("native session_window agrees with the manual window-lag sessionization") {
