@@ -304,6 +304,46 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+    "q_docs_cube" -> ((s, dir) => {
+      // CUBE: all grouping-set combinations of (source, lang) in one pass
+      s.read.parquet(t(dir, "documents"))
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+    "q_docs_set_ops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT set semantics: languages seen in long docs vs
+      // short docs — distinct-set operators, not join rewrites
+      val d = s.read.parquet(t(dir, "documents"))
+      val longL = d.filter(col("n_chars") >= 300).select("lang")
+      val shortL = d.filter(col("n_chars") < 300).select("lang")
+      val both = longL.intersect(shortL).withColumn("which", lit("both"))
+      val onlyLong = longL.except(shortL).withColumn("which", lit("long_only"))
+      both.unionByName(onlyLong).orderBy("which", "lang")
+    }),
+    "q_events_running_total" -> ((s, dir) => {
+      // cumulative window: per-user running total of event values in time
+      // order — the canonical ordered-window analytic (user-partitioned,
+      // never global)
+      val e = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts").cast("timestamp")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 6).as("running_total"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q_events_full_outer" -> ((s, dir) => {
+      // FULL OUTER join of two per-user aggregates: users who only click
+      // and users who only purchase both survive with nulls
+      val e = s.read.parquet(t(dir, "events"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(round(sum("value"), 6).as("purchase_total"))
+      clicks.join(purchases, Seq("user_id"), "full_outer")
+        .orderBy("user_id")
+    }),
     "q_docs_curation" -> ((s, dir) => {
       // the composed curation funnel: normalized dedup → predicted-lang
       // filter → quality threshold → per-language sampling, one pass
@@ -781,6 +821,30 @@ object SparkEntry {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(max(n_events) AS BIGINT) AS longest_session
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_docs_cube" ->
+      """SELECT source, lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_docs_set_ops" ->
+      """WITH longl AS (SELECT lang FROM documents WHERE n_chars >= 300),
+        |shortl AS (SELECT lang FROM documents WHERE n_chars < 300)
+        |SELECT lang, 'both' AS which FROM (SELECT lang FROM longl INTERSECT SELECT lang FROM shortl)
+        |UNION ALL
+        |SELECT lang, 'long_only' AS which FROM (SELECT lang FROM longl EXCEPT SELECT lang FROM shortl)
+        |ORDER BY which, lang""".stripMargin,
+    "q_events_running_total" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_events_full_outer" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, round(sum(value), 6) AS purchase_total FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id, c.n_clicks, p.purchase_total
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
     "q_events_asof" ->
       """WITH v AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'),
