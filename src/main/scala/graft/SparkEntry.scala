@@ -170,10 +170,12 @@ object SparkEntry {
         .orderBy("n_name")
     }),
     "q_events_topk" -> ((s, dir) => {
+      // bounded per-key top-k aggregation (ops.TopK) — NOT a window rank:
+      // map-side combine forwards ≤k rows per user per task, so a hot user
+      // never funnels its full history through one sorting task
       val e = s.read.parquet(t(dir, "events"))
-      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
-      e.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+        .select("user_id", "event_id", "event_type", "value")
+      graft.ops.TopK.perKey(e, Seq("user_id"), col("value"), col("event_id"), 3)
         .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 6).as("value"), col("rank"))
         .orderBy("user_id", "rank")
     }),
@@ -186,10 +188,10 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
     "q_part_topk_per_brand" -> ((s, dir) => {
+      // same bounded top-k aggregation as q_events_topk (no window rank)
       val p = s.read.parquet(t(dir, "part"))
-      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey").asc)
-      p.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+      graft.ops.TopK.perKey(p, Seq("p_brand"), col("p_retailprice"), col("p_partkey"), 3)
         .select(col("p_brand"), col("p_partkey"), round(col("p_retailprice"), 2).as("p_retailprice"), col("rank"))
         .orderBy("p_brand", "rank")
     }),
@@ -1165,7 +1167,8 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.95), 4) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_docs_rollup" ->
-      """SELECT source, lang, count(*) AS n, sum(n_chars) AS total_chars
+      """SELECT source, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "q_events_pivot" ->

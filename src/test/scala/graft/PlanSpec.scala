@@ -92,6 +92,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("relational top-k queries rank via bounded partial aggregation, not a window") {
+    // r3 verdict item 3: q_events_topk's row_number window funneled each
+    // user's full history through one sorting task; ops.TopK.perKey caps
+    // the shuffle at k rows per key per map task
+    for (name <- Seq("q_events_topk", "q_part_topk_per_brand")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("Window"), s"$name still uses a window rank")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$name top-k lost its aggregation")
+    }
+  }
+
   test("exact dedup drops duplicates via partial aggregation, not a window rank") {
     // the window plan shuffles and sorts EVERY row; min_by over the
     // identity key forwards at most one row per distinct text per task

@@ -10,7 +10,51 @@ names, hash of values with columns sorted by name and rows sorted).
 """
 import sys, os, json, glob, hashlib
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+def type_class(t):
+    """Coarse type class for driver-canonicalization compatibility.
+
+    The driver hashes values after an arrow/pandas round-trip, where a
+    DuckDB HUGEINT (e.g. sum over BIGINT) surfaces as decimal128(38,0) →
+    float64 and prints '7949.0' against Spark's int64 '7949' — identical
+    values, broken hash (the r3 q_docs_rollup red row). Any int-vs-float
+    class mismatch between the Spark parquet schema and the oracle arrow
+    schema is therefore a latent driver failure even when our own
+    fetchall()-based hash passes.
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+def type_drift(spark_schema, oracle_schema):
+    """Return [(col, spark_type, oracle_type)] where the int/float class
+    differs — the representation drift the driver's hash canon cannot
+    absorb. float-vs-decimal is tolerated (fractional decimals canon fine,
+    judge-verified on kg_mentions.confidence)."""
+    drift = []
+    o_by_name = {f.name: f.type for f in oracle_schema}
+    for f in spark_schema:
+        ot = o_by_name.get(f.name)
+        if ot is None:
+            continue
+        cs, co = type_class(f.type), type_class(ot)
+        if cs != co and {cs, co} == {"int", "float"}:
+            drift.append((f.name, str(f.type), str(ot)))
+    return drift
 
 def canon_cell(v):
     if v is None:
@@ -60,12 +104,16 @@ def main():
             cur = con.execute(oracle[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            oschema = con.execute(oracle[name]).fetch_arrow_table().schema
         except Exception as e:
             print(f"ORACLE_ERR   {name}: {str(e).splitlines()[0][:160]}")
             err += 1
             continue
         scols, srows = read_spark(spark_path)
+        sschema = pq.read_table(spark_path).schema
         problems = []
+        for c, st, ot in type_drift(sschema, oschema):
+            problems.append(f"TYPE_DRIFT {c}: spark={st} oracle={ot} (driver hash canon will diverge — CAST the oracle column)")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
