@@ -860,8 +860,8 @@ object SparkEntry {
       """WITH er AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
         |al AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
-        |SELECT er.event_id, er.user_id, er.ts_us, count(*) AS n_in_range
-        |FROM er JOIN al ON er.user_id = al.user_id
+        |SELECT er.event_id, er.user_id, er.ts_us, count(al.ts_us) AS n_in_range
+        |FROM er LEFT JOIN al ON er.user_id = al.user_id
         |  AND abs(al.ts_us - er.ts_us) <= 300 * 1000000
         |GROUP BY 1, 2, 3 ORDER BY er.event_id""".stripMargin,
     // the native session_window derivation must land on the SAME answer

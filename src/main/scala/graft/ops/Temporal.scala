@@ -81,10 +81,14 @@ object Temporal {
       .drop("__db")
     val r = right.select(col(keyCol), rightTsUs.as("__rts"))
       .withColumn("__bucket", floor(col("__rts") / rangeUs))
-    l.join(r, Seq(keyCol, "__bucket"))
-      .filter(abs(col("__rts") - col("__lts")) <= rangeUs)
+    // LEFT join + conditional count: every left row survives, with
+    // n_in_range = 0 when no right row lands in range (ADVICE r3: the
+    // inner-join formulation silently dropped zero-match left rows). The
+    // in-range test lives in the COUNT, not a filter — a left row whose
+    // candidate buckets hold only out-of-range rows must still emit 0.
+    l.join(r, Seq(keyCol, "__bucket"), "left")
       .groupBy(col(idCol), col(keyCol), col("__lts").as("ts_us"))
-      .agg(count(lit(1)).as("n_in_range"))
+      .agg(count(when(abs(col("__rts") - col("__lts")) <= rangeUs, lit(1))).as("n_in_range"))
       .select(col(idCol), col(keyCol), col("ts_us"), col("n_in_range"))
   }
 }

@@ -108,14 +108,24 @@ object Streaming {
     val offsets = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
     val cfs = offsets.getFileSystem(spark0.sparkContext.hadoopConfiguration)
     val freshCheckpoint = !cfs.exists(offsets) || cfs.listStatus(offsets).isEmpty
+    // legacy unscoped `batch-<n>` tags belong to the single IMPLICIT
+    // writer of the pre-scoping era — only a writer that did NOT pass an
+    // explicit appId may adopt them (mirrors Resumable's jobId=="kg"-only
+    // legacy rule). An explicitly-named writer sharing a table with a
+    // legacy stream must neither skip on, nor trip over, those tags
+    // (ADVICE r3: a scoped writer resuming a non-fresh checkpoint used to
+    // silently skip any batch whose ordinal matched a legacy tag).
+    val adoptLegacyTags = appId.isEmpty
     if (freshCheckpoint && graft.tables.Icebergish.exists(spark0, triplesRoot) &&
       graft.tables.Icebergish.committedTags(spark0, triplesRoot)
-        .exists(t => t.startsWith(s"batch-$writerId-") || t.matches("batch-\\d+")))
+        .exists(t => t.startsWith(s"batch-$writerId-") ||
+          (adoptLegacyTags && t.matches("batch-\\d+"))))
       throw new IllegalStateException(
         s"fresh checkpoint at $checkpoint but $triplesRoot already holds commits from " +
-          s"writer $writerId (or a pre-scoping legacy stream): restarting batch ids at 0 " +
-          "would silently skip new data. Keep the original checkpoint, or pass a new " +
-          "appId for a genuinely new ingestion.")
+          s"writer $writerId (or a legacy unscoped stream it would adopt): restarting " +
+          "batch ids at 0 would silently skip new data. Keep the original checkpoint, " +
+          "or pass a distinct appId for a genuinely new ingestion (explicitly-named " +
+          "writers ignore legacy unscoped tags).")
     docs.writeStream
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
         val spark = batch.sparkSession
@@ -123,8 +133,10 @@ object Streaming {
         val tags = graft.tables.Icebergish.committedTags(spark, triplesRoot)
         // legacy compat: a batch committed as "batch-<n>" before tags were
         // writer-scoped must still dedupe its own re-delivery across the
-        // upgrade (pre-scoping tables had a single writer by construction)
-        val done = tags.contains(tag) || tags.contains(s"batch-$batchId")
+        // upgrade — but ONLY for the implicit (appId-less) writer that
+        // era had; an explicitly-named writer never matches legacy tags
+        val done = tags.contains(tag) ||
+          (adoptLegacyTags && tags.contains(s"batch-$batchId"))
         if (!done) {
           val (triples, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(batch, lexicon)
           graft.tables.Icebergish.commit(

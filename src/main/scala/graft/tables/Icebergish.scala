@@ -40,10 +40,14 @@ final class ConcurrentCommitException(msg: String, cause: Throwable)
   *    it (previously such a crash made every later commit collide on the
   *    orphaned id — permanently bricking the table).
   *  - optimistic concurrency: each writer stages data under a UNIQUE
-  *    nonce'd directory and then atomically creates `manifests/snap-<id>
-  *    .json` with overwrite=false — the manifest create is the single
-  *    commit point. Two concurrent writers racing for the same id: one
-  *    wins, the loser gets a typed [[ConcurrentCommitException]], deletes
+  *    nonce'd directory, atomically claims the snapshot id (`locks/`,
+  *    mkdir-exclusive), writes the manifest to a dot-prefixed temp name
+  *    and links/renames it into `manifests/snap-<id>.json` with an
+  *    exclusive no-overwrite primitive — so a listed manifest is always
+  *    complete, and a writer whose stale lease was broken mid-commit is
+  *    FENCED (it cannot clobber the winner's manifest). Two concurrent
+  *    writers racing for the same id: one wins, the loser gets a typed
+  *    [[ConcurrentCommitException]], deletes
   *    only its own staged data, and can retry on the winner's snapshot.
   *    (No writer ever deletes another writer's in-flight files — staged
   *    dirs are unique, and failed stages are inert garbage for a vacuum.)
@@ -127,6 +131,40 @@ object Icebergish {
         if (broke) { f.delete(breakName, true); tryOnce() } else false
       } else false
     } else false
+  }
+
+  /** Install a manifest atomically and EXCLUSIVELY: write the bytes to a
+    * dot-prefixed temp name (invisible to the `snap-*.json` listing, so
+    * no reader can observe a partial manifest) and move it into
+    * `manifests/snap-<id>.json` with a primitive that FAILS if the
+    * destination exists. On local FS that is link(2) — the EEXIST check
+    * is in-kernel atomic, whereas rename(2) always clobbers; on HDFS-like
+    * stores rename-without-OVERWRITE is an atomic namespace op. Returns
+    * false when fenced out (the id's manifest already exists — e.g. this
+    * claimant stalled past the 60 s lease, its lock was broken, and the
+    * breaker committed first); the destination is untouched in that case.
+    */
+  private[graft] def installManifest(
+      f: FileSystem, root: String, id: Long, bytes: Array[Byte]): Boolean = {
+    val manifestPath = new Path(root, s"manifests/snap-$id.json")
+    val tmpManifest = new Path(root,
+      s"manifests/.snap-$id.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmpManifest, true)
+    try out.write(bytes)
+    finally out.close()
+    val installed =
+      if (f.getUri.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(manifestPath).toUri),
+            java.nio.file.Paths.get(f.makeQualified(tmpManifest).toUri))
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try !f.exists(manifestPath) && f.rename(tmpManifest, manifestPath)
+        catch { case _: java.io.IOException => false }
+    f.delete(tmpManifest, false)
+    installed
   }
 
   private def maxManifestId(f: FileSystem, root: String): Option[Long] = {
@@ -343,7 +381,6 @@ object Icebergish {
     manifest.put("schema", df.schema.json)
 
     f.mkdirs(new Path(root, "manifests"))
-    val manifestPath = new Path(root, s"manifests/snap-$id.json")
     // COMMIT POINT: atomically CLAIM the id before writing the manifest.
     // A bare create(path, overwrite=false) is NOT atomic on local
     // filesystems (RawLocalFileSystem does exists-then-create, so two
@@ -356,10 +393,29 @@ object Icebergish {
         s"snapshot $id already claimed by a concurrent writer (root=$root); " +
           "re-read the current snapshot and retry", null)
     }
-    // we own the id now: overwrite=true is safe and checksum-consistent
-    val out = f.create(manifestPath, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
-    finally out.close()
+    // Install the manifest ATOMICALLY and EXCLUSIVELY (ADVICE r3):
+    // write the bytes to a dot-prefixed temp name — invisible to
+    // maxManifestId's `snap-*.json` listing, so no reader or committer
+    // can observe a zero-byte/partial manifest mid-write — then move it
+    // into place with a primitive that FAILS if the destination exists:
+    //  - atomicity: a listed `snap-<id>.json` is always complete;
+    //  - fencing: a claimant that stalled past the 60 s lease and had
+    //    its lock broken must LOSE to the winner that committed the id,
+    //    not silently overwrite the winner's manifest. On local FS the
+    //    exclusive primitive is link(2) (EEXIST check is in-kernel
+    //    atomic; plain rename(2) always clobbers); on HDFS-like stores
+    //    rename-without-OVERWRITE is an atomic namespace op.
+    val installed =
+      installManifest(f, root, id, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
+    if (!installed) {
+      // fenced out: another writer committed this id while our lease was
+      // broken. Drop only OUR nonce'd staging dir; the winner's manifest
+      // and data are untouched.
+      f.delete(dataDir, true)
+      throw new ConcurrentCommitException(
+        s"snapshot $id manifest already installed by a concurrent writer " +
+          s"(stalled lease fenced, root=$root); re-read the current snapshot and retry", null)
+    }
 
     // atomic pointer flip: write tmp, rename OVER the old pointer in one
     // filesystem op (FileContext rename with OVERWRITE — posix rename(2)

@@ -57,47 +57,69 @@ object SkewBench {
     lex.count()
 
     // per-stage task-time skew: the listener-level evidence that no hub
-    // key concentrates work on one task (max/median task time per stage)
+    // key concentrates work on one task (max/median task time per stage).
+    // Listener events arrive ASYNCHRONOUSLY on the bus, so runs must not
+    // share mutable state via clear() (ADVICE r3: late events from run N
+    // land after run N+1 started and get misattributed). Instead each
+    // run gets a unique job group; onJobStart pins every stage id to its
+    // group, and skew is computed AFTER all runs from the per-group
+    // stage sets — late delivery can no longer cross runs.
     val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, Vector[Long]]()
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) js.stageIds.foreach(sid => stageGroup.put(sid, g))
+      }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null)
           stageTimes.merge(te.stageId, Vector(te.taskInfo.duration), _ ++ _)
     }
     spark.sparkContext.addSparkListener(listener)
 
-    def once(path: String): (Long, Double, Double) = {
-      stageTimes.clear()
-      val docs = spark.read.parquet(path).as[graft.core.Doc]
-      val t0 = System.nanoTime()
-      val (triples, cleanup) = KgPipeline.runWithCleanup(docs, lex, numPartitions = cpus * 2)
-      val n = triples.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      // worst max/median task-time ratio across stages with enough tasks
-      // to make a ratio meaningful (a hot hub key would show up here)
+    def once(path: String, group: String): (Long, Double) = {
+      spark.sparkContext.setJobGroup(group, s"skew-bench $group", interruptOnCancel = false)
+      try {
+        val docs = spark.read.parquet(path).as[graft.core.Doc]
+        val t0 = System.nanoTime()
+        val (triples, cleanup) = KgPipeline.runWithCleanup(docs, lex, numPartitions = cpus * 2)
+        val n = triples.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        (n, wall)
+      } finally spark.sparkContext.clearJobGroup()
+    }
+
+    // worst max/median task-time ratio across this group's stages with
+    // enough tasks to make a ratio meaningful (a hub key shows up here)
+    def skewOf(group: String): Double = {
       import scala.jdk.CollectionConverters._
-      val worst = stageTimes.values.asScala
+      stageGroup.asScala.collect { case (sid, g) if g == group => sid }
+        .flatMap(sid => Option(stageTimes.get(sid)))
         .filter(_.size >= 8)
         .map { ts =>
           val s = ts.sorted
           s.last.toDouble / math.max(s(s.size / 2), 1L)
         }
         .maxOption.getOrElse(1.0)
-      (n, wall, worst)
     }
 
     // one untimed warm-up per variant, then interleaved timed runs
-    variants.foreach { case (name, _) => once(staged(name)) }
+    variants.foreach { case (name, _) => once(staged(name), s"warm-$name") }
     val walls = scala.collection.mutable.Map(variants.map(_._1 -> Vector.empty[Double]): _*)
-    val skews = scala.collection.mutable.Map(variants.map(_._1 -> Vector.empty[Double]): _*)
+    val groups = scala.collection.mutable.Map(variants.map(_._1 -> Vector.empty[String]): _*)
     val counts = scala.collection.mutable.Map.empty[String, Long]
-    for (_ <- 0 until runs; (name, _) <- variants) {
-      val (n, w, sk) = once(staged(name))
+    for (i <- 0 until runs; (name, _) <- variants) {
+      val g = s"run-$name-$i"
+      val (n, w) = once(staged(name), g)
       counts(name) = n
       walls(name) = walls(name) :+ w
-      skews(name) = skews(name) :+ sk
+      groups(name) = groups(name) :+ g
     }
+    // drain the listener bus before sampling task times: events for the
+    // final tasks may still be in flight when count() returns
+    Thread.sleep(2000)
+    val skews = groups.map { case (name, gs) => name -> gs.map(skewOf) }
     def median(xs: Vector[Double]): Double = xs.sorted.apply(xs.length / 2)
     def fmt(xs: Vector[Double]): String = xs.map(w => f"$w%.2f").mkString("[", ",", "]")
     val mu = median(walls("uniform"))

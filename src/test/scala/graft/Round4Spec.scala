@@ -1,0 +1,196 @@
+package graft
+
+import graft.tables.{ConcurrentCommitException, Icebergish}
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 hardening: manifest-install atomicity + lease fencing
+  * (ADVICE r3 mediums) and the racing-committer extension of the r3
+  * model-based table test.
+  */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("manifest install is exclusive: a fenced-out stalled claimant cannot clobber the winner") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_fence")
+    val f = fs(root)
+
+    // a claimant took id 0's lock and stalled >60 s before writing its
+    // manifest (lock backdated, no manifest)
+    val lock = new java.io.File(s"$root/locks/snap-0")
+    assert(lock.mkdirs())
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+
+    // a second writer breaks the stale lease and commits id 0
+    val id = Icebergish.commit(Seq((1, "winner")).toDF("id", "v"), root)
+    assert(id == 0L)
+    val mPath = new Path(root, "manifests/snap-0.json")
+    val winnerBytes = {
+      val in = f.open(mPath)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+
+    // the stalled claimant resumes and tries to install ITS manifest for
+    // the same id: the exclusive install must refuse, leaving the
+    // winner's manifest byte-identical and no temp residue behind
+    val fenced = Icebergish.installManifest(f, root, 0L, """{"garbage":true}""".getBytes)
+    assert(!fenced, "fenced-out claimant overwrote a committed manifest")
+    val after = {
+      val in = f.open(mPath)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    assert(java.util.Arrays.equals(winnerBytes, after), "winner's manifest was mutated")
+    val residue = f.listStatus(new Path(root, "manifests"))
+      .map(_.getPath.getName).filter(_.contains("tmp"))
+    assert(residue.isEmpty, s"temp residue left: ${residue.mkString(",")}")
+    assert(Icebergish.read(spark, root).select("v").as[String].collect().toSeq == Seq("winner"))
+  }
+
+  test("in-flight temp manifests are invisible to readers and snapshot resolution") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_tmpvis")
+    Icebergish.commit(Seq((1, "a")).toDF("id", "v"), root) // snap 0
+    val f = fs(root)
+    // a concurrent committer mid-install: partial dot-temp manifest bytes
+    val tmp = new Path(root, "manifests/.snap-99.json.tmp-deadbeef")
+    val o = f.create(tmp, true)
+    try o.write("""{"snapshot": 99, "par""".getBytes) finally o.close() // torn JSON
+    assert(Icebergish.currentSnapshotId(spark, root).contains(0L),
+      "partial temp manifest leaked into snapshot resolution")
+    assert(Icebergish.read(spark, root).count() == 1L)
+  }
+
+  test("rangeJoinCount keeps zero-match left rows with n_in_range = 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val range = 100L
+    // u1/e1: two matches (0, 60); u1/e2 at 5000: nothing within ±100 but
+    // SAME key has rows — the row must survive with 0 (the old inner
+    // join dropped it); u2/e3: key has no right rows at all → 0
+    val left = Seq((1L, "u1", 50L), (2L, "u1", 5000L), (3L, "u2", 10L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(("u1", 0L), ("u1", 60L), ("u1", 220L)).toDF("user_id", "ts_us")
+    val got = graft.ops.Temporal.rangeJoinCount(
+      left, right, "user_id", "event_id", col("ts_us"), col("ts_us"), range)
+      .orderBy("event_id")
+      .select("event_id", "n_in_range").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("explicitly-named stream writers ignore legacy unscoped batch tags; implicit writers adopt them") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val srcDir = tmpDir("kg_legacy_src")
+    val outRoot = tmpDir("kg_legacy_out") + "/triples"
+    val lex = graft.data.Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+    try {
+      // a pre-scoping legacy stream committed batches tagged "batch-0/1"
+      Icebergish.commit(
+        Seq(("dL", "treated_by", "o")).toDF("doc_id", "pred", "obj"),
+        outRoot, "append", partitionBy = Seq("pred"), tag = Some("batch-0"))
+      Icebergish.commit(
+        Seq(("dL2", "treated_by", "o2")).toDF("doc_id", "pred", "obj"),
+        outRoot, "append", partitionBy = Seq("pred"), tag = Some("batch-1"))
+      val legacyRows = Icebergish.read(spark, outRoot).count()
+
+      val g = graft.data.DocsGen.gen(spark, 30, seed = 41)
+      graft.data.DocsGen.docs(g).write.mode("append").parquet(srcDir)
+
+      // an explicitly-named writer must neither trip the fresh-checkpoint
+      // guard on the legacy tags nor skip its own batch 0/1 because their
+      // ordinals collide with "batch-0"/"batch-1" (ADVICE r3 low)
+      Streaming.kgStream(
+        Streaming.docsStream(spark, srcDir), lex, outRoot,
+        tmpDir("kg_legacy_ckpt_a") + "/ckpt", appId = Some("r4app"))
+        .awaitTermination()
+      assert(Icebergish.read(spark, outRoot).count() > legacyRows,
+        "scoped writer skipped its batches on legacy-tag ordinal collision")
+      val tags = Icebergish.committedTags(spark, outRoot)
+      assert(tags.exists(_.startsWith("batch-r4app-")), s"missing scoped tag in $tags")
+
+      // the implicit (appId-less) writer is the legacy stream's
+      // continuation: a fresh checkpoint against those tags must refuse
+      val e = intercept[IllegalStateException] {
+        Streaming.kgStream(
+          Streaming.docsStream(spark, srcDir), lex, outRoot,
+          tmpDir("kg_legacy_ckpt_b") + "/ckpt")
+      }
+      assert(e.getMessage.contains("fresh checkpoint"))
+    } finally lex.unpersist()
+  }
+
+  test("racing committers over mixed append/upsert keep a linear snapshot chain and lose no update") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_race_model")
+    val preds = Seq("treated_by", "has_finding", "located_in")
+    val threads = 3
+    val opsPerThread = 5
+    // disjoint key spaces: thread t owns keys t*1000+i; partitions SHARED
+    // across threads (every upsert rewrites contended partitions)
+    def predOf(key: Int) = preds(key % preds.length)
+    def toDf(rows: Map[Int, String]) =
+      rows.toSeq.map { case (k, o) => (s"d$k", predOf(k), o) }
+        .toDF("doc_id", "pred", "obj")
+
+    val models = Array.fill(threads)(scala.collection.mutable.Map.empty[Int, String])
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futs = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val rnd = new scala.util.Random(4000L + t)
+            (0 until opsPerThread).foreach { i =>
+              val batch: Map[Int, String] =
+                if (i == 0 || rnd.nextBoolean()) // append fresh keys
+                  (0 until (1 + rnd.nextInt(2))).map { j =>
+                    (t * 1000 + i * 10 + j) -> s"o$t-$i-$j"
+                  }.toMap
+                else // update some of this thread's own keys + one fresh
+                  rnd.shuffle(models(t).keys.toSeq).take(1 + rnd.nextInt(2))
+                    .map(k => k -> s"u$t-$i-$k").toMap +
+                    ((t * 1000 + i * 10 + 9) -> s"o$t-$i-9")
+              models(t) ++= batch
+              var done = false
+              while (!done) {
+                try {
+                  Icebergish.upsertPartitions(toDf(batch), root, Seq("pred"), Seq("doc_id"))
+                  done = true
+                } catch {
+                  case _: ConcurrentCommitException => losses.incrementAndGet()
+                }
+              }
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+
+    // no lost updates: the table is exactly the union of all per-thread models
+    val expected = models.flatMap(_.toMap).toMap
+      .map { case (k, o) => s"d$k" -> o }
+    val got = Icebergish.read(spark, root).select("doc_id", "obj")
+      .as[(String, String)].collect().toMap
+    assert(got == expected,
+      s"diverged: missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+
+    // linearizable history: ids are contiguous 0..max and every
+    // manifest's parent is exactly its predecessor — no fork survived
+    val maxId = Icebergish.currentSnapshotId(spark, root).get
+    (0L to maxId).foreach { id =>
+      val s = Icebergish.readManifest(spark, root, id)
+      assert(s.id == id && s.parent == id - 1,
+        s"snapshot $id has parent ${s.parent}: history forked")
+    }
+    info(s"races lost and retried: ${losses.get()} over ${maxId + 1} commits")
+  }
+}
