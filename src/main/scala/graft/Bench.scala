@@ -72,44 +72,55 @@ object Bench {
     var triples = 0L
     var triplesSec = 0.0
     val errors = Seq.newBuilder[(String, String)]
-    // median of 3 runs per query: the sandbox host is shared and neighbor
-    // load swings single-run walls 2-4x — a median keeps BENCH_r{N}
-    // comparable across rounds. Each run measured cold (cache cleared).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        var n = -1L
-        var failed = false
-        val times = (0 until runs).flatMap { _ =>
-          if (failed) None
-          else {
-            val t0 = System.nanoTime()
-            try n = fn(spark, sfDir).count()
-            catch {
-              case e: Throwable => // fail LOUDLY: a broken query must not report a fast wall time
-                errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-                failed = true
-                n = -1L
-            }
-            // each run measured cold: release caches the query persisted
-            // internally (e.g. the pipeline's mention cache) before the next
-            spark.catalog.clearCache()
-            if (failed) None else Some((System.nanoTime() - t0) / 1e9)
-          }
-        }
-        val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
-        if (name == "kg_triples" && n > 0) { triples = n; triplesSec = n / sec }
-        name -> sec
+    // Noise protocol (r3 VERDICT: one hot 2-minute host window inflated
+    // every query ~28%, including ones whose code hadn't changed):
+    //  - >= 5 runs per query (median), not 3;
+    //  - runs INTERLEAVED across queries — repetition r of every query
+    //    runs before repetition r+1 of any, so a transient hot window
+    //    taxes one rep of each query instead of every rep of a few;
+    //  - per-run raw walls emitted in the JSON ("raw"), so a noisy
+    //    window is self-evident in the record instead of silently
+    //    shifting medians.
+    // Each run is measured cold (internal caches cleared between runs).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val names = headline.filter(SparkEntry.queries.contains)
+    val raw = scala.collection.mutable.LinkedHashMap(names.map(_ -> Vector.empty[Double]): _*)
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    for (rep <- 0 until runs; name <- names if !failedQ(name)) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        rowCounts(name) = fn(spark, sfDir).count()
+        raw(name) = raw(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => // fail LOUDLY: a broken query must not report a fast wall
+          errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          failedQ += name
       }
+      // release caches the query persisted internally (e.g. the
+      // pipeline's mention cache) before the next timed run
+      spark.catalog.clearCache()
+    }
+    val results = names.map { name =>
+      val times = raw(name)
+      val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
+      if (name == "kg_triples" && rowCounts.getOrElse(name, -1L) > 0) {
+        triples = rowCounts(name); triplesSec = triples / sec
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val rawJson = raw.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.result().map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // failed queries (sec = -1) are EXCLUDED from the headline total — a
     // broken query must not make the benchmark look faster (ADVICE r2)
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val warm = if (warmupFailed) "\"warmup_failed\":true," else ""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warm"queries":$qs,"errors":$errs,"sf":"$sfDir","cores":$cpus,"runs_per_query":$runs,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warm"queries":$qs,"raw":$rawJson,"errors":$errs,"sf":"$sfDir","cores":$cpus,"runs_per_query":$runs,"kg_triples":$triples,"kg_triples_per_sec":$triplesSec%.1f}"""
     // stdout (raw — build.sbt routes forked output unprefixed) AND a file,
     // so the driver can parse either
     println(line)

@@ -72,6 +72,37 @@ object Hashing {
     out
   }
 
+  /** Word w-shingles of a text (lowercased, whitespace-split) — kernel
+    * shared by `ops.Dedup` and the native MinHash expression.
+    */
+  def shingles(text: String, w: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else toks.sliding(w).map(_.mkString(" ")).toArray
+  }
+
+  /** k-permutation MinHash signature over word shingles (kernel shared by
+    * `ops.Dedup.minhashSignature` and the native `functions.MinHashSig`
+    * Catalyst expression — which calls this from generated code, so it
+    * must stay a plain static-forwardable object method).
+    */
+  def minhashSignature(text: String, k: Int, w: Int): Array[Long] = {
+    val sh = shingles(text, w)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = hashString(sh(i))
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (0x9E3779B97F4A7C15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** Deterministic unit-ish embedding of dimension `dim` from a key.
     * Components in [-1, 1); used for synthetic lexicon/context embeddings.
     */

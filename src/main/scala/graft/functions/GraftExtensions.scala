@@ -38,5 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(s) - 64-bit SimHash of a string over whitespace tokens",
         ""),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinHashSig].getName,
+        null,
+        "minhash_sig",
+        "_FUNC_(s, k, w) - k-permutation MinHash signature (array<bigint>) over word w-shingles; k and w must be integer literals",
+        ""),
+      { (exprs: Seq[Expression]) =>
+        def lit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig $what must be an integer literal, got $other")
+        }
+        MinHashSig(exprs(0), lit(exprs(1), "k"), lit(exprs(2), "w"))
+      }))
   }
 }

@@ -49,5 +49,6 @@ object Registry {
       Bio.seqevalEntities(Option(tags).getOrElse(Seq.empty).toIndexedSeq))
     VecDot.register(spark)
     SimHash64.register(spark)
+    MinHashSig.register(spark)
   }
 }

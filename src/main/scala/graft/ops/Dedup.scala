@@ -66,30 +66,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Word w-shingles of a text (lowercased, whitespace-split). */
-  def shingles(text: String, w: Int): Array[String] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < w) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
-    else toks.sliding(w).map(_.mkString(" ")).toArray
-  }
+  /** Word w-shingles of a text (lowercased, whitespace-split). Kernel
+    * lives in [[graft.core.Hashing.shingles]] (shared with the native
+    * Catalyst expression).
+    */
+  def shingles(text: String, w: Int): Array[String] = Hashing.shingles(text, w)
 
-  /** k-permutation MinHash signature over word shingles. */
-  def minhashSignature(text: String, k: Int, w: Int): Array[Long] = {
-    val sh = shingles(text, w)
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < sh.length) {
-      val base = Hashing.hashString(sh(i))
-      var j = 0
-      while (j < k) {
-        val h = Hashing.mix64(base ^ (0x9E3779B97F4A7C15L * (j + 1)))
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    sig
-  }
+  /** k-permutation MinHash signature over word shingles. Kernel lives in
+    * [[graft.core.Hashing.minhashSignature]] — also the body of the
+    * codegen'd `functions.MinHashSig` expression, so the scalar API and
+    * the plan-level operator cannot drift apart.
+    */
+  def minhashSignature(text: String, k: Int, w: Int): Array[Long] =
+    Hashing.minhashSignature(text, k, w)
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -107,16 +96,21 @@ object Dedup {
       maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sigUdf = udf((s: String) => minhashSignature(if (s == null) "" else s, k, shingleWidth))
+    // native codegen'd expression (functions.MinHashSig), not a UDF: the
+    // signature is the dominant CPU of this operator and now runs inside
+    // whole-stage codegen with no encoder boundary. Null text hashes as
+    // "" to preserve the former UDF's behavior.
+    def sigExpr(c: Column): Column =
+      graft.functions.MinHashSig.minhash_sig(coalesce(c, lit("")), k, shingleWidth)
 
-    // DELIBERATE persist with caller-managed release: the signature UDF is
-    // the dominant CPU cost and the plan consumes sigs on four branches
+    // DELIBERATE persist with caller-managed release: the signature kernel
+    // is the dominant CPU cost and the plan consumes sigs on four branches
     // (bucket sizes, both self-join sides, the jaccard columns). The
     // returned DataFrame is lazy, so this function cannot unpersist;
     // callers release via spark.catalog.clearCache() once the result is
     // materialized (Verify/Bench do, per query).
     val sigs = df
-      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"), sigExpr(col(textCol)).as("sig"))
       .persist()
 
     // band buckets: hash of each signature slice

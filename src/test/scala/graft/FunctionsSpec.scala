@@ -25,6 +25,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 11.0)
   }
 
+  test("minhash_sig native expression matches the scalar kernel and survives codegen") {
+    import spark.implicits._
+    import graft.functions.MinHashSig
+    val texts = Seq("the quick brown fox jumps", "胃癌 的 治疗 方案", "", "one")
+    // parquet-backed scan: LocalRelation projections constant-fold before
+    // codegen, which would bypass the doGenCode path under test
+    val dir = java.nio.file.Files.createTempDirectory("minhash_expr").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).orderBy("id")
+    val got = df.select(MinHashSig.minhash_sig(col("text"), 8, 2).as("sig"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val want = texts.map(t => Hashing.minhashSignature(t, 8, 2).toSeq)
+    assert(got.toSeq == want)
+    // null input → null out (nullIntolerant)
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(MinHashSig.minhash_sig(col("text"), 8, 2)).head()
+    assert(n.isNullAt(0))
+    // SQL registration path
+    Registry.registerAll(spark)
+    val viaSql = spark.sql("select minhash_sig('a b c d', 4, 2) as s")
+      .head().getSeq[Long](0).toSeq
+    assert(viaSql == Hashing.minhashSignature("a b c d", 4, 2).toSeq)
+  }
+
+  test("minhashPairs plans the native expression, not a UDF") {
+    import spark.implicits._
+    // parquet-backed: a LocalRelation would constant-fold the projection
+    val dir = java.nio.file.Files.createTempDirectory("minhash_plan").toString
+    Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val qe = graft.ops.Dedup.minhashPairs(df, "text", "doc_id", k = 16, bands = 4)
+      .queryExecution
+    // the signature projection lives inside the persisted sigs stage —
+    // reach through the logical InMemoryRelation into its cached physical
+    // plan (the physical tree hides it behind a leaf AdaptiveSparkPlan)
+    val cached = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.mkString("\n")
+    val full = qe.executedPlan.toString + "\n" + cached
+    assert(cached.contains("minhash_sig"), s"native expression missing from cached plan:\n$full")
+    assert(!full.contains("ScalaUDF") && !full.toLowerCase.contains("batchevalpython"),
+      "minhash signature still computed by a UDF")
+    spark.catalog.clearCache()
+  }
+
   test("GraftExtensions injects vec_dot into a session at build time") {
     val base = spark // ensure the shared context exists first
     org.apache.spark.sql.SparkSession.clearActiveSession()
