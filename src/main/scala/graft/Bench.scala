@@ -98,8 +98,9 @@ object Bench {
           errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
           failedQ += name
       }
-      // release caches the query persisted internally (e.g. the
-      // pipeline's mention cache) before the next timed run
+      // hygiene between timed runs: no operator REQUIRES this anymore
+      // (r4 removed the dedup persist contracts), but the KG pipeline
+      // query still caches mentions internally for its own branches
       spark.catalog.clearCache()
     }
     val results = names.map { name =>

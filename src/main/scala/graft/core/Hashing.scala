@@ -103,6 +103,35 @@ object Hashing {
     sig
   }
 
+  /** Distinct 64-bit hashes of a text's word w-shingles, in one pass —
+    * kernel of the native `functions.ShingleHashes` expression (static-
+    * forwardable; called from generated code). The hash values are
+    * internal to the inverted-index dedup operators (only equality
+    * matters), so they use this library's own string hash.
+    */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = Array.newBuilder[Long]
+    if (toks.isEmpty) return Array.empty
+    if (toks.length < w) return Array(hashString(toks.mkString(" ")))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = hashString(sb.toString)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.result()
+  }
+
   /** Deterministic unit-ish embedding of dimension `dim` from a key.
     * Components in [-1, 1); used for synthetic lexicon/context embeddings.
     */

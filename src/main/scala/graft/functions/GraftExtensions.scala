@@ -54,5 +54,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(exprs(0), lit(exprs(1), "k"), lit(exprs(2), "w"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(
+        classOf[ShingleHashes].getName,
+        null,
+        "shingle_hashes",
+        "_FUNC_(s, w) - distinct 64-bit hashes of the word w-shingles of a string; w must be an integer literal",
+        ""),
+      { (exprs: Seq[Expression]) =>
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes w must be an integer literal, got $other")
+        }
+        ShingleHashes(exprs(0), w)
+      }))
   }
 }

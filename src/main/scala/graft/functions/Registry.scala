@@ -50,5 +50,6 @@ object Registry {
     VecDot.register(spark)
     SimHash64.register(spark)
     MinHashSig.register(spark)
+    ShingleHashes.register(spark)
   }
 }

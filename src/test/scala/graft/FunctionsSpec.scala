@@ -50,6 +50,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Hashing.minhashSignature("a b c d", 4, 2).toSeq)
   }
 
+  test("shingle_hashes one-pass kernel equals shingles().distinct.map(hashString), incl. via codegen") {
+    import spark.implicits._
+    import graft.functions.ShingleHashes
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "a a a a", "one two", "", "  padded   spaces  ")
+    for (t <- texts; w <- Seq(1, 2, 3)) {
+      val want = Hashing.shingles(t, w).distinct.map(Hashing.hashString(_)).toSeq
+      assert(Hashing.shingleHashes(t, w).toSeq == want, s"kernel mismatch for ($t, $w)")
+    }
+    // codegen path over a parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("shingle_expr").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select(ShingleHashes.shingle_hashes(col("text"), 2).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got.toSeq == texts.map(t => Hashing.shingleHashes(t, 2).toSeq))
+    // SQL registration path
+    Registry.registerAll(spark)
+    val viaSql = spark.sql("select shingle_hashes('a b c', 2) as h").head().getSeq[Long](0).toSeq
+    assert(viaSql == Hashing.shingleHashes("a b c", 2).toSeq)
+  }
+
   test("minhashPairs plans the native expression, not a UDF") {
     import spark.implicits._
     // parquet-backed: a LocalRelation would constant-fold the projection
@@ -57,20 +81,13 @@ class FunctionsSpec extends AnyFunSuite {
     Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
-    val qe = graft.ops.Dedup.minhashPairs(df, "text", "doc_id", k = 16, bands = 4)
-      .queryExecution
-    // the signature projection lives inside the persisted sigs stage —
-    // reach through the logical InMemoryRelation into its cached physical
-    // plan (the physical tree hides it behind a leaf AdaptiveSparkPlan)
-    val cached = qe.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        r.cachedPlan.toString
-    }.mkString("\n")
-    val full = qe.executedPlan.toString + "\n" + cached
-    assert(cached.contains("minhash_sig"), s"native expression missing from cached plan:\n$full")
+    val full = graft.ops.Dedup.minhashPairs(df, "text", "doc_id", k = 16, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(full.contains("minhash_sig"), s"native expression missing from plan:\n$full")
     assert(!full.contains("ScalaUDF") && !full.toLowerCase.contains("batchevalpython"),
       "minhash signature still computed by a UDF")
-    spark.catalog.clearCache()
+    // r4: the operator holds no hidden executor state — nothing persisted
+    assert(!full.contains("InMemoryTableScan"), "minhashPairs silently persists again")
   }
 
   test("GraftExtensions injects vec_dot into a session at build time") {
