@@ -47,6 +47,28 @@ object SparkEntry {
     Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
   }
 
+  /** Corpus-estimated CRF transition table (K3): legal transitions with
+    * add-1-smoothed log-probs, rounded at 6 (shared by the
+    * kg_crf_transitions query and the attribution join).
+    */
+  private def crfTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (g, _) = goldAndDocs(s, dir)
+    val counts = Detector.transitionCounts(DocsGen.goldSentences(g))
+    val L = Detector.NumLabels
+    def lab(i: Int) = if (i == L) "<s>" else graft.core.Bio.Labels(i)
+    val rows = (0 to L).flatMap { i =>
+      val legal = (0 until L).filter(j => Detector.transitions(i)(j) > -1e8f)
+      val total = legal.map(j => counts.getOrElse((i, j), 0L)).sum.toDouble + legal.size
+      legal.map { j =>
+        val n = counts.getOrElse((i, j), 0L)
+        (lab(i), graft.core.Bio.Labels(j), n, math.log((n + 1.0) / total))
+      }
+    }
+    rows.toDF("from_label", "to_label", "n", "logp")
+      .withColumn("logp", round(col("logp"), 6))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -130,22 +152,18 @@ object SparkEntry {
       // part under test is the tag-bigram counting job; the emitted rows
       // (legal transitions with add-1-smoothed log-probs) are a bounded
       // parameter table, not a data path.
-      import s.implicits._
-      val (g, _) = goldAndDocs(s, dir)
-      val counts = Detector.transitionCounts(DocsGen.goldSentences(g))
-      val L = Detector.NumLabels
-      def lab(i: Int) = if (i == L) "<s>" else graft.core.Bio.Labels(i)
-      val rows = (0 to L).flatMap { i =>
-        val legal = (0 until L).filter(j => Detector.transitions(i)(j) > -1e8f)
-        val total = legal.map(j => counts.getOrElse((i, j), 0L)).sum.toDouble + legal.size
-        legal.map { j =>
-          val n = counts.getOrElse((i, j), 0L)
-          (lab(i), graft.core.Bio.Labels(j), n, math.log((n + 1.0) / total))
-        }
-      }
-      rows.toDF("from_label", "to_label", "n", "logp")
-        .withColumn("logp", round(col("logp"), 6))
-        .orderBy("from_label", "to_label")
+      crfTransitions(s, dir).orderBy("from_label", "to_label")
+    }),
+    "kg_attributions" -> ((s, dir) => {
+      // explainability analog (model_explainability.py:209-218): per
+      // detected mention, the ranked features that produced it —
+      // gazetteer evidence, the displaced O-prior, and the CRF
+      // transition chain (joined broadcast from the bounded transition
+      // table; fully relational, no kernel re-run)
+      val (_, docs) = goldAndDocs(s, dir)
+      val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries).toDF()
+      graft.explain.Attribution.attributions(mentions, crfTransitions(s, dir))
+        .orderBy("doc_id", "span_idx", "start", "rank")
     }),
 
     // ---------------------------------------------------------------- relational core (oracle-checked)
@@ -710,6 +728,38 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL over the same parquet tables. Every name
     * and row order matches the Spark result exactly.
     */
+  /** Shared DuckDB CTE chain re-deriving the smoothed CRF transition
+    * table from the gold tags (ends in `trans`); used by the
+    * kg_crf_transitions and kg_attributions oracles.
+    */
+  private def crfTransCtes: String =
+    s"""labels AS (SELECT * FROM (VALUES
+       |    ('B-Anatomical'),('B-Diseases'),('B-Drug'),('B-Image'),('B-Laboratory'),('B-Operation'),
+       |    ('I-Anatomical'),('I-Diseases'),('I-Drug'),('I-Image'),('I-Laboratory'),('I-Operation'),
+       |    ('O')) t(lab)),
+       |froms AS (SELECT lab AS f FROM labels UNION ALL SELECT '<s>'),
+       |pairs AS (
+       |  SELECT f.f AS from_label, l.lab AS to_label
+       |  FROM froms f CROSS JOIN labels l
+       |  WHERE NOT (l.lab LIKE 'I-%'
+       |             AND f.f <> 'B-' || substring(l.lab, 3)
+       |             AND f.f <> 'I-' || substring(l.lab, 3))),
+       |big AS (
+       |  SELECT coalesce(lag(tag) OVER (PARTITION BY doc_id, span_idx ORDER BY pos), '<s>') AS from_label,
+       |         tag AS to_label
+       |  FROM ${fx("gold_tags")}),
+       |cnt AS (SELECT from_label, to_label, count(*) AS n FROM big GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT p.from_label, sum(coalesce(c.n, 0)) + count(*) AS total
+       |  FROM pairs p LEFT JOIN cnt c USING (from_label, to_label)
+       |  GROUP BY 1),
+       |trans AS (
+       |  SELECT p.from_label, p.to_label, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       |    round(ln((coalesce(c.n, 0) + 1.0) / t.total), 6) AS logp
+       |  FROM pairs p
+       |  LEFT JOIN cnt c USING (from_label, to_label)
+       |  JOIN tot t ON p.from_label = t.from_label)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1003,32 +1053,35 @@ object SparkEntry {
     // K3 oracle: re-derive the tag-bigram counts + add-1-smoothed log-probs
     // from staged gold tags; legality (BIO grammar) re-expressed in SQL
     "kg_crf_transitions" ->
-      s"""WITH labels AS (SELECT * FROM (VALUES
-         |    ('B-Anatomical'),('B-Diseases'),('B-Drug'),('B-Image'),('B-Laboratory'),('B-Operation'),
-         |    ('I-Anatomical'),('I-Diseases'),('I-Drug'),('I-Image'),('I-Laboratory'),('I-Operation'),
-         |    ('O')) t(lab)),
-         |froms AS (SELECT lab AS f FROM labels UNION ALL SELECT '<s>'),
-         |pairs AS (
-         |  SELECT f.f AS from_label, l.lab AS to_label
-         |  FROM froms f CROSS JOIN labels l
-         |  WHERE NOT (l.lab LIKE 'I-%'
-         |             AND f.f <> 'B-' || substring(l.lab, 3)
-         |             AND f.f <> 'I-' || substring(l.lab, 3))),
-         |big AS (
-         |  SELECT coalesce(lag(tag) OVER (PARTITION BY doc_id, span_idx ORDER BY pos), '<s>') AS from_label,
-         |         tag AS to_label
-         |  FROM ${fx("gold_tags")}),
-         |cnt AS (SELECT from_label, to_label, count(*) AS n FROM big GROUP BY 1, 2),
-         |tot AS (
-         |  SELECT p.from_label, sum(coalesce(c.n, 0)) + count(*) AS total
-         |  FROM pairs p LEFT JOIN cnt c USING (from_label, to_label)
-         |  GROUP BY 1)
-         |SELECT p.from_label, p.to_label, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
-         |  round(ln((coalesce(c.n, 0) + 1.0) / t.total), 6) AS logp
-         |FROM pairs p
-         |LEFT JOIN cnt c USING (from_label, to_label)
-         |JOIN tot t ON p.from_label = t.from_label
+      s"""WITH $crfTransCtes
+         |SELECT from_label, to_label, n, logp FROM trans
          |ORDER BY from_label, to_label""".stripMargin,
+    "kg_attributions" ->
+      s"""WITH $crfTransCtes,
+         |bi AS (SELECT substring(from_label, 3) AS entity_type, logp AS logp_bi
+         |       FROM trans WHERE from_label LIKE 'B-%'
+         |         AND to_label = 'I-' || substring(from_label, 3)),
+         |ii AS (SELECT substring(from_label, 3) AS entity_type, logp AS logp_ii
+         |       FROM trans WHERE from_label LIKE 'I-%' AND to_label = from_label),
+         |m AS (SELECT doc_id, span_idx, entity_type, text, "start", "end",
+         |        ("end" - "start") AS len
+         |      FROM ${fx("gold_mentions")}),
+         |f AS (
+         |  SELECT doc_id, span_idx, entity_type, text, "start", "end",
+         |    1 AS rank, 'gazetteer:' || text AS feature, round(8.0 * len, 6) AS weight
+         |  FROM m
+         |  UNION ALL
+         |  SELECT doc_id, span_idx, entity_type, text, "start", "end",
+         |    2, 'o_prior_alternative', round(2.0 * len, 6)
+         |  FROM m
+         |  UNION ALL
+         |  SELECT m.doc_id, m.span_idx, m.entity_type, m.text, m."start", m."end",
+         |    3, 'crf_transition_chain',
+         |    CASE WHEN m.len = 1 THEN 0.0
+         |         ELSE round(bi.logp_bi + (m.len - 2) * ii.logp_ii, 6) END
+         |  FROM m JOIN bi USING (entity_type) JOIN ii USING (entity_type))
+         |SELECT doc_id, span_idx, entity_type, text, "start", "end", rank, feature, weight
+         |FROM f ORDER BY doc_id, span_idx, "start", rank""".stripMargin,
 
     "lexicon_prune" ->
       s"""WITH $lexCte,

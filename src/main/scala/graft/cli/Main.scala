@@ -76,6 +76,17 @@ object Main {
       val formats = if (args.predict == "all") Seq("json", "markup", "bio") else Seq(args.predict)
       require(formats.forall(Set("json", "markup", "bio")),
         s"--predict takes json|markup|bio|all, got ${args.predict}")
+      if (args.docs == "-") {
+        // interactive stdin mode (reference's predict_enhanced.py:219-242):
+        // `--predict <fmt> --docs -`
+        Interactive.repl(
+          spark,
+          new java.io.BufferedReader(
+            new java.io.InputStreamReader(System.in, java.nio.charset.StandardCharsets.UTF_8)),
+          System.out, formats)
+        spark.stop()
+        return
+      }
       val sentences = graft.data.BioCorpus.readRawText(spark, args.docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gazBc = graft.detect.Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)

@@ -84,6 +84,51 @@ object SpanMetrics {
     rows :+ mic.copy(entity_type = "micro avg") :+ macroRow :+ weightedRow
   }
 
+  /** Python-compatible fixed-point formatting: `{:.4f}` rounds the exact
+    * binary value of the double HALF_EVEN — Java's `%.4f` rounds HALF_UP,
+    * which can differ on exact decimal ties, so the renderer goes through
+    * BigDecimal explicitly.
+    */
+  private def py4(x: Double, digits: Int): String =
+    new java.math.BigDecimal(x).setScale(digits, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  /** Byte-for-byte renderer of seqeval's `classification_report(...,
+    * digits=4)` text format (golden instance
+    * `/root/reference/results/classification_report.txt`, written by the
+    * reference's evaluation flow, `evaluate.py:318,392`):
+    * `{:>{width}s} ` header/rows with ` {:>9.4f}` metric cells and
+    * ` {:>9}` support, a blank line after the header and between the
+    * per-class block and the avg block.
+    */
+  def classificationReportText(rows: Seq[TypeMetrics], digits: Int = 4): String = {
+    val avgNames = Set("micro avg", "macro avg", "weighted avg")
+    val classes = rows.filterNot(r => avgNames(r.entity_type))
+    val avgs = rows.filter(r => avgNames(r.entity_type))
+    val width = (classes.map(_.entity_type.length) :+ "weighted avg".length).max
+    def pad(s: String, w: Int) = " " * math.max(0, w - s.length) + s
+    val sb = new StringBuilder
+    sb.append(pad("", width)).append(' ')
+    Seq("precision", "recall", "f1-score", "support").foreach(h =>
+      sb.append(' ').append(pad(h, 9)))
+    sb.append("\n\n")
+    def row(r: TypeMetrics): Unit = {
+      sb.append(pad(r.entity_type, width)).append(' ')
+      Seq(r.precision, r.recall, r.f1).foreach(v =>
+        sb.append(' ').append(pad(py4(v, digits), 9)))
+      sb.append(' ').append(pad(r.gold_count.toString, 9)).append('\n')
+    }
+    classes.foreach(row)
+    sb.append('\n')
+    avgs.foreach(row)
+    sb.toString
+  }
+
+  /** The reference artifact's trailing overall-metrics line
+    * (`总体指标 - 精确率: P, 召回率: R, F1分数: F`). */
+  def overallSummaryLine(micro: TypeMetrics, digits: Int = 4): String =
+    s"总体指标 - 精确率: ${py4(micro.precision, digits)}, " +
+      s"召回率: ${py4(micro.recall, digits)}, F1分数: ${py4(micro.f1, digits)}"
+
   /** S8: the materialized eval-JSON sink — the nested structure of the
     * reference's `evaluation_results.json` (`evaluate.py:348-381`):
     * model_info / eval_info / metrics.overall / metrics.entity_metrics

@@ -77,6 +77,27 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("classification_report.txt renders byte-for-byte against the reference artifact") {
+    assume(refAvailable)
+    val artifact = "/root/reference/results/classification_report.txt"
+    assume(new java.io.File(artifact).isFile)
+    val gold = BioCorpus.readIndexed(spark, s"$refData/test.txt")
+    val pred = BioCorpus.readIndexed(spark, "/root/reference/results/test_predictions.txt")
+    val (perType, micro) = ReferenceEval.evaluate(gold, pred)
+    val rows = graft.metrics.SpanMetrics.report(perType)
+    val ours = graft.metrics.SpanMetrics.classificationReportText(rows) + "\n" +
+      graft.metrics.SpanMetrics.overallSummaryLine(micro)
+    val theirs = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(artifact)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(ours.linesIterator.size == theirs.linesIterator.size,
+      s"line counts differ: ${ours.linesIterator.size} vs ${theirs.linesIterator.size}")
+    ours.linesIterator.zip(theirs.linesIterator).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"line $i differs:\n ours:   [$a]\n theirs: [$b]")
+    }
+    assert(ours == theirs, "byte-level mismatch (line endings / trailing bytes)")
+  }
+
   test("triple parity: distributed assembly over the reference's OWN predictions matches local reference semantics exactly (P=R=1)") {
     val spark2 = spark
     import spark2.implicits._

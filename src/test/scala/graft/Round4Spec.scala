@@ -126,6 +126,56 @@ class Round4Spec extends AnyFunSuite {
     } finally lex.unpersist()
   }
 
+  test("interactive --predict stdin REPL is byte-compatible with file mode across json/markup/bio") {
+    val surfaces = graft.data.DocsGen.vocabEntries.take(4).map(_._1).toSeq
+    val batch1 = Seq(s"患者 出现 ${surfaces(0)} 合并 ${surfaces(1)}", s"建议 ${surfaces(2)} 治疗")
+    val batch2 = Seq(s"复查 提示 ${surfaces(3)}")
+    // round 1: two sentences + blank line predicts; round 2: one sentence,
+    // then 'exit' predicts the pending batch and quits (reference
+    // semantics: exit with pending text runs a final prediction)
+    val script = (batch1 :+ "" ) ++ (batch2 :+ "exit")
+    val in = new java.io.BufferedReader(new java.io.StringReader(script.mkString("\n") + "\n"))
+    val bout = new java.io.ByteArrayOutputStream()
+    val pout = new java.io.PrintStream(bout, true, "UTF-8")
+    graft.cli.Interactive.repl(spark, in, pout, Seq("json", "markup", "bio"))
+    val outLines = new String(bout.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .replace(">>> ", "").linesIterator.toVector
+
+    // expected: the file-mode sink path over the same sentences
+    def fileMode(texts: Seq[String], fmt: String): Seq[String] = {
+      val tmp = java.nio.file.Files.createTempFile("predict_filemode", ".txt")
+      try {
+        java.nio.file.Files.write(tmp,
+          texts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val sentences = graft.data.BioCorpus.readRawText(spark, tmp.toString)
+        val gaz = graft.detect.Detector.broadcastGazetteer(spark, graft.data.DocsGen.vocabEntries)
+        val mentions = graft.detect.Detector.detect(sentences, gaz)
+        val (df, column) = fmt match {
+          case "json" => (graft.sinks.Formats.jsonRecords(sentences, mentions), "json")
+          case "markup" => (graft.sinks.Formats.markupText(sentences, mentions), "marked")
+          case "bio" => (graft.sinks.Formats.bioText(sentences, mentions), "bio")
+        }
+        df.orderBy("doc_id").select(column).collect().map(_.getString(0)).toSeq
+      } finally java.nio.file.Files.delete(tmp)
+    }
+
+    // the REPL prints a "-- fmt --" section per format per round, in order
+    def section(lines: Vector[String], marker: String, nth: Int): Seq[String] = {
+      val starts = lines.zipWithIndex.collect { case (l, i) if l == s"-- $marker --" => i }
+      assert(starts.length == 2, s"expected 2 '$marker' sections, got ${starts.length}")
+      val from = starts(nth) + 1
+      lines.drop(from).takeWhile(l => !l.startsWith("-- ")).toSeq
+    }
+    // values may be multi-line (bio: one line per char) — compare the
+    // joined byte text of each section
+    for ((batch, round) <- Seq(batch1 -> 0, batch2 -> 1); fmt <- Seq("json", "markup", "bio"))
+      assert(section(outLines, fmt, round).mkString("\n") == fileMode(batch, fmt).mkString("\n"),
+        s"$fmt round $round diverged from file mode")
+    assert(outLines.last == "bye")
+    // at least one entity actually detected (the batches embed vocabulary)
+    assert(outLines.exists(_.matches("-- \\d+ sentence\\(s\\), [1-9]\\d* entities --")))
+  }
+
   test("racing committers over mixed append/upsert keep a linear snapshot chain and lose no update") {
     import spark.implicits._
     val root = tmpDir("iceberg_race_model")
