@@ -316,13 +316,14 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
-    val pv = Similarity.planeVectors(0xB17, planes, dim)
-    val bandsUdf = udf((v: Seq[Float]) => Similarity.signBands(v, pv, bands))
+    // native codegen'd banding (functions.SignBands), not a UDF
+    def bandKeys(c: Column): Column =
+      graft.functions.SignBands.sign_bands(c, 0xB17L, planes, dim, bands)
     // norm computed once per input row (pre-explode), not per candidate pair
     val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vn", Similarity.normCol(col("v")))
       .select(col("id"), col("v"), col("vn"),
-        posexplode(bandsUdf(col("v"))).as(Seq("band", "bucket")))
+        posexplode(bandKeys(col("v"))).as(Seq("band", "bucket")))
     val bucketSizes = withKey.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
     val pruned = withKey.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
     val a = pruned.select(col("band"), col("bucket"),

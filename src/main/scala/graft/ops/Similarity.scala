@@ -117,7 +117,10 @@ object Similarity {
     * band b iff all `width` signs agree. Pure kernel (shared with the
     * fixture oracle).
     */
-  def signBands(v: Seq[Float], planeVecs: Array[Array[Double]], bands: Int): Array[Long] = {
+  def signBands(v: Seq[Float], planeVecs: Array[Array[Double]], bands: Int): Array[Long] =
+    signBands(v.toArray, planeVecs, bands)
+
+  def signBands(v: Array[Float], planeVecs: Array[Array[Double]], bands: Int): Array[Long] = {
     val planes = planeVecs.length
     val width = planes / bands
     val bits = new Array[Boolean](planes)
@@ -136,6 +139,19 @@ object Similarity {
       while (i < width) { if (bits(b * width + i)) key |= (1L << i); i += 1 }
       key
     }
+  }
+
+  /** Static-forwardable kernel behind the native `functions.SignBands`
+    * expression (called from generated code): plane vectors are derived
+    * from (seed, planes, dim) and memoized per JVM, so the expression
+    * carries only four plan-time constants — no broadcast, no closure.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+  def signBandsKernel(v: Array[Float], seed: Long, planes: Int, dim: Int, bands: Int): Array[Long] = {
+    val pv = planeCache.computeIfAbsent((seed, planes, dim),
+      key => planeVectors(key._1, key._2, key._3))
+    signBands(v, pv, bands)
   }
 
   /** Default ANN-LSH parameters, shared with the local-reference oracle in
@@ -168,14 +184,16 @@ object Similarity {
       bands: Int = AnnBands,
       maxBucket: Int = AnnMaxBucket): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
-    val pv = planeVectors(0xA55, planes, dim)
-    val bandsUdf = udf((v: Seq[Float]) => signBands(v, pv, bands))
+    // native codegen'd banding (functions.SignBands), not a UDF — the
+    // per-row bucketing kernel stays inside whole-stage codegen
+    def bandKeys(c: Column): Column =
+      graft.functions.SignBands.sign_bands(c, 0xA55L, planes, dim, bands)
 
     val c = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cnorm", normCol(col("cv"))) // once per corpus row, pre-explode
       .select(col("neighbor_id"), col("cv"), col("cnorm"),
-        posexplode(bandsUdf(col("cv"))).as(Seq("band", "bucket")))
+        posexplode(bandKeys(col("cv"))).as(Seq("band", "bucket")))
     // cap hot buckets on the corpus side (skew guard, same as minhashPairs)
     val bucketSizes = c.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
     val cPruned = c.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
@@ -184,7 +202,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", normCol(col("qv")))
       .select(col("query_id"), col("qv"), col("qnorm"),
-        posexplode(bandsUdf(col("qv"))).as(Seq("band", "bucket")))
+        posexplode(bandKeys(col("qv"))).as(Seq("band", "bucket")))
 
     // no dropDuplicates here: band-collision copies of a pair carry an
     // identical deterministic cosine, and the duplicate-tolerant TopKAgg

@@ -74,6 +74,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Hashing.shingleHashes("a b c", 2).toSeq)
   }
 
+  test("sign_bands native expression matches the scalar kernel; LSH ops plan it instead of a UDF") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val dim = 8; val planes = 8; val bands = 4; val seed = 0xA55L
+    val vecs = (0 until 5).map(i => Array.tabulate(dim)(d => (i * dim + d).toFloat / 7f - 2f))
+    val dir = java.nio.file.Files.createTempDirectory("signbands_expr").toString
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select(graft.functions.SignBands.sign_bands(col("v"), seed, planes, dim, bands).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val pv = Similarity.planeVectors(seed, planes, dim)
+    assert(got.toSeq == vecs.map(v => Similarity.signBands(v, pv, bands).toSeq))
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+      "lshTopK" -> Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 3),
+      "embeddingNearDup" -> graft.ops.Dedup.embeddingNearDupPairs(e, "embedding", "vec_id", dim = 64))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("sign_bands"), s"$name missing the native banding expression")
+      assert(!p.contains("ScalaUDF"), s"$name still plans a Scala UDF")
+    }
+  }
+
   test("minhashPairs plans the native expression, not a UDF") {
     import spark.implicits._
     // parquet-backed: a LocalRelation would constant-fold the projection
