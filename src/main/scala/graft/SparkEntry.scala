@@ -471,12 +471,12 @@ object SparkEntry {
     }),
     "docs_langid" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), TextAnalysis.languageIdUdf(col("text")).as("lang_pred"))
+        .select(col("doc_id"), TextAnalysis.languageIdCol(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
     "docs_fingerprint" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
+        .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
     // ---------------------------------------------------------------- aug / sinks / stats / streaming

@@ -51,5 +51,7 @@ object Registry {
     SimHash64.register(spark)
     MinHashSig.register(spark)
     ShingleHashes.register(spark)
+    Fingerprint64.register(spark)
+    LanguageId.register(spark)
   }
 }

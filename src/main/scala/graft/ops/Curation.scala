@@ -34,7 +34,7 @@ object Curation {
     val withNorm = docs.withColumn("__norm", TextAnalysis.normalizeText(col(textCol)))
     val survivors = Dedup.dropExactDuplicates(withNorm, "__norm", idCol).drop("__norm")
     val withLang = survivors
-      .withColumn("__lang", TextAnalysis.languageIdUdf(col(textCol)))
+      .withColumn("__lang", TextAnalysis.languageIdCol(col(textCol)))
       .filter(col("__lang").isInCollection(allowedLangs))
     val qualified = TextAnalysis.qualityFeatures(withLang, col(textCol))
       .filter(round(col("quality_score"), 4) >= minQuality)

@@ -132,6 +132,11 @@ object TextAnalysis {
 
   val fingerprintUdf = udf((s: String) => fingerprint(if (s == null) "" else s))
 
+  /** Column form via the NATIVE codegen'd expression (null → fingerprint("")
+    * = 0, matching the UDF). */
+  def fingerprintCol(c: Column): Column =
+    graft.functions.Fingerprint64.fingerprint64(coalesce(c, lit("")))
+
   /** Character n-gram language-ID: scores each language's profile by how
     * many of the text's trigrams appear in a small per-language profile
     * (top trigrams of common function words). Deterministic heuristic —
@@ -173,4 +178,9 @@ object TextAnalysis {
   }
 
   val languageIdUdf = udf((s: String) => languageId(s))
+
+  /** Column form via the NATIVE codegen'd expression (null → "und",
+    * matching the UDF's languageId(null) behavior). */
+  def languageIdCol(c: Column): Column =
+    graft.functions.LanguageId.language_id(coalesce(c, lit("")))
 }

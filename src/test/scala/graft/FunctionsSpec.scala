@@ -99,6 +99,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint64 and language_id native expressions match the scalar kernels") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val texts = Seq(
+      "the cat and the dog and the bird", "el que de la casa", "患者出现了高血压的症状", "", "xqzk")
+    val dir = java.nio.file.Files.createTempDirectory("textexprs").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select(
+        TextAnalysis.fingerprintCol(col("text")).as("fp"),
+        TextAnalysis.languageIdCol(col("text")).as("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == texts.map(t => (TextAnalysis.fingerprint(t), TextAnalysis.languageId(t))))
+    // null behavior matches the UDFs: fingerprint("") and "und"
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.fingerprintCol(col("text")), TextAnalysis.languageIdCol(col("text"))).head()
+    assert(n.getLong(0) == TextAnalysis.fingerprint("") && n.getString(1) == "und")
+    Registry.registerAll(spark)
+    assert(spark.sql("select language_id('the cat and the dog')").head().getString(0) == "en")
+  }
+
   test("minhashPairs plans the native expression, not a UDF") {
     import spark.implicits._
     // parquet-backed: a LocalRelation would constant-fold the projection
