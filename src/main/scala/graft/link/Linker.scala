@@ -1,7 +1,7 @@
 package graft.link
 
 import graft.core.{Hashing, LexiconEntry, LinkedMention, Mention}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,8 +71,13 @@ object Linker {
     }
   }
 
-  private val blockingKeysUdf = udf((s: String) => blockingKeys(s))
-  private def ctxEmbUdf(dim: Int) = udf((s: String) => contextEmbedding(s, dim))
+  // native codegen'd expressions (functions.LinkExprs) — the per-mention
+  // embedding/keying kernels stay inside whole-stage codegen; no UDF
+  // encoder boundary on the data-sized side of the link join
+  private def blockingKeysCol(c: Column): Column =
+    graft.functions.BlockingKeys.blocking_keys(c)
+  private def ctxEmbCol(c: Column, dim: Int): Column =
+    graft.functions.CtxEmbedding.ctx_embedding(c, dim)
 
   /** Link each mention to its best lexicon concept (left join semantics:
     * mentions with no candidate survive with null concept — they feed
@@ -86,11 +91,11 @@ object Linker {
     import spark.implicits._
 
     val m = mentions
-      .withColumn("ctx_emb", ctxEmbUdf(ctxDim)($"text"))
-      .withColumn("bkey", explode(blockingKeysUdf($"text")))
+      .withColumn("ctx_emb", ctxEmbCol($"text", ctxDim))
+      .withColumn("bkey", explode(blockingKeysCol($"text")))
 
     val lex = lexicon
-      .withColumn("bkey", explode(blockingKeysUdf($"surface")))
+      .withColumn("bkey", explode(blockingKeysCol($"surface")))
       .select($"bkey", $"concept_id", $"surface", $"entity_type".as("lex_type"), $"embedding")
 
     val scored = m
@@ -162,10 +167,10 @@ object Linker {
     val spark = surfaces.sparkSession
     import spark.implicits._
     val m = surfaces.toDF("text", "entity_type")
-      .withColumn("ctx_emb", ctxEmbUdf(ctxDim)($"text"))
-      .withColumn("mkey", explode(blockingKeysUdf($"text")))
+      .withColumn("ctx_emb", ctxEmbCol($"text", ctxDim))
+      .withColumn("mkey", explode(blockingKeysCol($"text")))
     val lex = lexicon
-      .withColumn("bkey", explode(blockingKeysUdf($"surface")))
+      .withColumn("bkey", explode(blockingKeysCol($"surface")))
       .select($"bkey", $"concept_id", $"surface", $"entity_type".as("lex_type"), $"embedding")
     val candidates = lex
       .join(broadcast(m), lex("bkey") === m("mkey") && lex("lex_type") === m("entity_type"))

@@ -39,11 +39,21 @@ class PlanSpec extends AnyFunSuite {
   test("lexicon link join is a broadcast hash join") {
     import spark.implicits._
     val lex = Lexicon.fromSurfaces(DocsGen.vocabEntries.toDS())
-    val mentions = Seq(Mention("d", 0, "Diseases", "胃癌", 0, 2, 1.0)).toDS()
+    // parquet-backed: a LocalRelation would constant-fold the native
+    // kernel expressions out of the plan under test
+    val mdir = java.nio.file.Files.createTempDirectory("link_plan").toString
+    Seq(Mention("d", 0, "Diseases", "胃癌", 0, 2, 1.0)).toDS()
+      .write.mode("overwrite").parquet(mdir)
+    val mentions = spark.read.parquet(mdir).as[Mention]
     val p = plan(Linker.link(mentions, lex).toDF())
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "lexicon join is not broadcast")
     assert(!p.contains("SortMergeJoin"), "lexicon join degraded to sort-merge")
+    // r4: the per-mention kernels are native expressions — no UDF encoder
+    // boundary anywhere on the data-sized side of the link join
+    assert(p.contains("ctx_embedding") && p.contains("blocking_keys"),
+      "link kernels not planned as native expressions")
+    assert(!p.contains("ScalaUDF"), "link path still plans a Scala UDF")
   }
 
   test("perplexity scoring joins its alphabet-bounded count tables by broadcast") {
