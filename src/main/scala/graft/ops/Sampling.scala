@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** `uniformDouble(hash2(seed, id))` as native columns: the seed half of
+    * hash2 folds to a literal on the driver, the id half runs through the
+    * codegen'd Mix64 expression, and the [0,1) projection is an exact
+    * power-of-two division — bit-identical to the scalar kernel, with no
+    * UDF boundary in a gate that evaluates once per corpus row.
+    */
   private def gate(idCol: Column, seed: Long): Column = {
-    val u = udf((id: Long) => Hashing.uniformDouble(Hashing.hash2(seed, id)))
-    u(idCol)
+    val h = graft.functions.Mix64.mix64(lit(Hashing.mix64(seed)).bitwiseXOR(idCol))
+    shiftrightunsigned(h, 11).cast("double") / lit((1L << 53).toDouble)
   }
 
   /** Keep each row with probability `frac`, deterministically per id. */

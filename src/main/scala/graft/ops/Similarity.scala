@@ -286,6 +286,15 @@ object Similarity {
       .take(nprobe).map(_._1).toArray
   }
 
+  /** Static-forwardable bridge behind `functions.NearestCells` (the
+    * codebook arrives as a plan reference object, so the parameter is
+    * AnyRef for the generated code's benefit).
+    */
+  def nearestCellsKernel(v: Array[Float], cents: AnyRef, nprobe: Int): Array[Int] =
+    nearestCentroids(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
+      cents.asInstanceOf[Array[(Long, Array[Float])]], nprobe)
+
   /** IVF ANN top-k: corpus rows are assigned to their nearest centroid
     * (the inverted file); each query probes its `nprobe` nearest cells and
     * ranks candidates by exact cosine via the bounded top-k aggregator.
@@ -320,24 +329,27 @@ object Similarity {
     // deterministic training sample: the mix64-smallest ids, collected in
     // sorted order so the driver-side k-means sums floats in a fixed
     // order — centroids are partition- and run-independent
-    val mixUdf = udf((id: Long) => Hashing.mix64(id))
+    // native mix64 expression: this ordering evaluates over the WHOLE
+    // corpus before the limit, so it must not cross a UDF boundary
     val sample = corpusVecs.toDF("id", "v")
-      .orderBy(mixUdf(col("id")), col("id"))
+      .orderBy(graft.functions.Mix64.mix64(col("id")), col("id"))
       .limit(math.max(nCentroids, sampleSize))
       .as[(Long, Array[Float])].collect().toSeq
     val cents =
       if (kmeansIters > 0) kmeansCodebook(sample, nCentroids, kmeansIters)
       else ivfCentroids(sample, nCentroids)
-    val centsBc = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, 1)(0))
-    val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, centsBc.value, nprobe))
+    // native nearest_cells expression: the trained codebook rides as a
+    // plan reference object (bounded by nCentroids); assignment/probing
+    // run inside whole-stage codegen per corpus/query row
+    def cells(c: Column, n: Int): Column =
+      graft.functions.NearestCells.nearest_cells(c, cents, n)
 
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cnorm", normCol(col("cv")))
-      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("cell", cells(col("cv"), 1).getItem(0))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", normCol(col("qv")))
-      .select(col("query_id"), col("qv"), col("qnorm"), explode(probeUdf(col("qv"))).as("cell"))
+      .select(col("query_id"), col("qv"), col("qnorm"), explode(cells(col("qv"), nprobe)).as("cell"))
     val scored = c
       .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

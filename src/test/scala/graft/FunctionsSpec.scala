@@ -121,6 +121,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("select language_id('the cat and the dog')").head().getString(0) == "en")
   }
 
+  test("sampling gate is native and bit-identical to the scalar kernel; IVF plans nearest_cells") {
+    import spark.implicits._
+    val ids = (0L until 1000L) ++ Seq(-1L, -999L, Long.MaxValue, Long.MinValue + 1)
+    val dir = java.nio.file.Files.createTempDirectory("gate_parity").toString
+    ids.map(Tuple1(_)).toDF("id").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    for (seed <- Seq(7L, 42L); frac <- Seq(0.1, 0.5)) {
+      val kept = graft.ops.Sampling.bernoulli(df, "id", frac, seed)
+        .select("id").as[Long].collect().toSet
+      val expected = ids.filter(id =>
+        Hashing.uniformDouble(Hashing.hash2(seed, id)) < frac).toSet
+      assert(kept == expected, s"gate diverged for seed=$seed frac=$frac")
+    }
+    val p = graft.ops.Sampling.bernoulli(df, "id", 0.5, 7L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("mix64") && !p.contains("ScalaUDF"), "sampling gate still a UDF")
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val ivf = graft.ops.Similarity.ivfTopK(e, q, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(ivf.contains("nearest_cells"), "IVF cell assignment not a native expression")
+    assert(!ivf.contains("ScalaUDF"), "IVF path still plans a Scala UDF")
+  }
+
   test("minhashPairs plans the native expression, not a UDF") {
     import spark.implicits._
     // parquet-backed: a LocalRelation would constant-fold the projection
