@@ -628,9 +628,33 @@ object Icebergish {
           s.dataDir.toSeq ++ s.files.map(_.split("/").take(2).mkString("/"))
         }
         .map(_.stripPrefix("data/")).toSet
+    // crashed writers also leave dot-prefixed temp manifests (a completed
+    // install deletes its temp; only a crash between write and
+    // link/rename leaves one) and broken-lease markers behind — both are
+    // invisible to readers (the `snap-*.json` listing skips dot files,
+    // locks are never read) but accumulate; sweep them past a grace
+    // period so an IN-FLIGHT installer's temp is never pulled out from
+    // under it.
+    val graceMs = 15 * 60 * 1000L
+    val now = System.currentTimeMillis()
+    val tmpManifests =
+      if (!f.exists(mDir)) Nil
+      else f.listStatus(mDir).toSeq
+        .filter(st => st.getPath.getName.startsWith(".snap-") &&
+          st.getPath.getName.contains(".tmp-") &&
+          now - st.getModificationTime > graceMs)
+        .map { st => f.delete(st.getPath, false); "manifests/" + st.getPath.getName }
+    val lDir = new Path(root, "locks")
+    val brokenLocks =
+      if (!f.exists(lDir)) Nil
+      else f.listStatus(lDir).toSeq
+        .filter(st => st.getPath.getName.contains(".broken-") &&
+          now - st.getModificationTime > graceMs)
+        .map { st => f.delete(st.getPath, true); "locks/" + st.getPath.getName }
     f.listStatus(dDir).toSeq.map(_.getPath.getName)
       .filterNot(referenced)
-      .map { orphan => f.delete(new Path(dDir, orphan), true); orphan }
+      .map { orphan => f.delete(new Path(dDir, orphan), true); orphan } ++
+      tmpManifests ++ brokenLocks
   }
 
   /** PARTITION-SCOPED compaction: rewrite only the partitions whose live

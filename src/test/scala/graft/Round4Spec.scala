@@ -67,6 +67,56 @@ class Round4Spec extends AnyFunSuite {
     assert(Icebergish.read(spark, root).count() == 1L)
   }
 
+  test("vacuum sweeps stale temp manifests and broken-lease markers, not fresh ones") {
+    import spark.implicits._
+    val root = tmpDir("iceberg_vacuum_tmp")
+    Icebergish.commit(Seq((1, "a")).toDF("id", "v"), root)
+    val f = fs(root)
+    def plant(rel: String, old: Boolean): Unit = {
+      val p = new Path(root, rel)
+      f.mkdirs(p.getParent)
+      f.create(p, true).close()
+      if (old) new java.io.File(s"$root/$rel")
+        .setLastModified(System.currentTimeMillis() - 3600000L)
+    }
+    plant("manifests/.snap-5.json.tmp-dead", old = true)   // crashed writer
+    plant("manifests/.snap-6.json.tmp-live", old = false)  // in-flight installer
+    plant("locks/snap-3.broken-dead", old = true)          // crashed breaker
+    val removed = Icebergish.vacuum(spark, root)
+    assert(removed.contains("manifests/.snap-5.json.tmp-dead"))
+    assert(removed.contains("locks/snap-3.broken-dead"))
+    assert(!removed.exists(_.contains("tmp-live")), "in-flight temp swept")
+    assert(f.exists(new Path(root, "manifests/.snap-6.json.tmp-live")))
+    assert(Icebergish.read(spark, root).count() == 1)
+  }
+
+  test("TopK.perKey equals the sort-based reference on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44L)
+    for (trial <- 0 until 6) {
+      val n = 50 + rnd.nextInt(150)
+      // small ord domain forces plenty of ties; tie column unique
+      val rows = (0 until n).map { i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(6).toDouble, i.toLong, s"p$i")
+      }
+      val k = 1 + rnd.nextInt(4)
+      val asc = rnd.nextBoolean()
+      val df = rows.toDF("key", "ord", "tie", "payload").repartition(7)
+      val got = graft.ops.TopK.perKey(
+        df, Seq("key"), org.apache.spark.sql.functions.col("ord"),
+        org.apache.spark.sql.functions.col("tie"), k, asc)
+        .select("key", "tie", "rank").as[(String, Long, Int)]
+        .collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (key, grp) =>
+        val sorted = grp.sortBy { case (_, ord, tie, _) =>
+          (if (asc) ord else -ord, tie)
+        }.take(k)
+        sorted.zipWithIndex.map { case ((_, _, tie, _), i) => (key, tie, i + 1) }
+      }.toSet
+      assert(got == expected, s"trial $trial diverged (k=$k asc=$asc)")
+    }
+  }
+
   test("rangeJoinCount keeps zero-match left rows with n_in_range = 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
