@@ -28,7 +28,9 @@ object Main {
       stream: Boolean = false,
       streamKg: Boolean = false,
       dumpDocs: Boolean = false,
-      predict: String = "")
+      predict: String = "",
+      evalGold: String = "",
+      evalPred: String = "")
 
   def parse(argv: Array[String]): Args =
     argv.sliding(2, 2).foldLeft(Args()) {
@@ -43,6 +45,8 @@ object Main {
       case (a, Array("--stream-kg", v)) => a.copy(streamKg = v.toBoolean)
       case (a, Array("--dump-docs", v)) => a.copy(dumpDocs = v.toBoolean)
       case (a, Array("--predict", v)) => a.copy(predict = v)
+      case (a, Array("--eval", v)) => a.copy(evalGold = v)
+      case (a, Array("--eval-pred", v)) => a.copy(evalPred = v)
       case (a, Array(flag, _)) => sys.error(s"unknown flag: $flag"); a
       case (a, _) => a
     }
@@ -65,6 +69,42 @@ object Main {
     import spark.implicits._
 
     val t0 = System.nanoTime()
+    if (args.evalGold.nonEmpty) {
+      // Evaluation mode — the reference's evaluate.py artifact flow over
+      // (gold BIO, predicted BIO): classification_report.txt (byte-for-
+      // byte renderer), evaluation_results.json, and the SVG analogs of
+      // its PNG figures (entity bars, confusion heatmap, label bars).
+      require(args.evalPred.nonEmpty, "--eval <gold.txt> needs --eval-pred <predictions.txt>")
+      val gold = graft.data.BioCorpus.readIndexed(spark, args.evalGold)
+      val pred = graft.data.BioCorpus.readIndexed(spark, args.evalPred)
+      val (perType, micro) = graft.metrics.ReferenceEval.evaluate(gold, pred)
+      val rows = graft.metrics.SpanMetrics.report(perType)
+      val avgNames = Set("micro avg", "macro avg", "weighted avg")
+      val outDir = java.nio.file.Paths.get(args.out)
+      java.nio.file.Files.createDirectories(outDir)
+      def w(name: String, content: String): Unit =
+        java.nio.file.Files.writeString(outDir.resolve(name), content)
+      w("classification_report.txt",
+        graft.metrics.SpanMetrics.classificationReportText(rows) + "\n" +
+          graft.metrics.SpanMetrics.overallSummaryLine(micro))
+      w("evaluation_results.json", graft.metrics.SpanMetrics.evalJson(
+        rows.filterNot(r => avgNames(r.entity_type)), micro,
+        modelInfo = Seq("engine" -> "graft-spark"),
+        evalInfo = Seq("sentences" -> gold.count())))
+      w("entity_performance.svg",
+        graft.sinks.Plots.entityMetricsSvg(rows.filterNot(r => avgNames(r.entity_type))))
+      val conf = graft.metrics.SpanMetrics
+        .confusion(graft.metrics.ReferenceEval.tokenPairs(gold, pred))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      w("confusion_matrix.svg", graft.sinks.Plots.confusionHeatmapSvg(conf))
+      val dist = graft.metrics.LabelStats.labelDistribution(gold)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      w("label_distribution.svg", graft.sinks.Plots.labelDistributionSvg(dist))
+      println(f"graft-eval: P=${micro.precision}%.4f R=${micro.recall}%.4f F1=${micro.f1}%.4f " +
+        s"-> ${args.out}/{classification_report.txt,evaluation_results.json,*.svg}")
+      spark.stop()
+      return
+    }
     if (args.predict.nonEmpty) {
       // Prediction mode — the reference's predict_enhanced.py flow
       // (`:213-499`) over a raw text file instead of an interactive stdin

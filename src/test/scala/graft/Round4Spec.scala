@@ -67,6 +67,46 @@ class Round4Spec extends AnyFunSuite {
     assert(Icebergish.read(spark, root).count() == 1L)
   }
 
+  test("SVG plot sinks render well-formed, proportional figures from the metric tables") {
+    import graft.sinks.Plots
+    def wellFormed(svg: String): Unit = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(svg.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ()
+    }
+    // training curves: two single-axis panels, never a dual-axis chart
+    val curves = Plots.trainingCurvesSvg(Seq((1, 2.31, 0.41), (2, 1.12, 0.66), (3, 0.81, 0.79)))
+    wellFormed(curves)
+    assert(curves.contains("Average loss") && curves.contains("F1 (dev)"))
+
+    // entity bars from a report's per-type rows: fixed series order
+    val rows = Seq(
+      graft.core.TypeMetrics("Anatomical", 793, 1017, 944, 0.7797, 0.8400, 0.8088),
+      graft.core.TypeMetrics("Drug", 156, 169, 173, 0.9231, 0.9017, 0.9123))
+    val bars = Plots.entityMetricsSvg(rows)
+    wellFormed(bars)
+    for (c <- Seq("#2a78d6", "#eb6834", "#1baf7a")) assert(bars.contains(c), s"series $c missing")
+    assert(bars.contains("Anatomical") && bars.contains("Drug"))
+
+    // confusion heatmap straight from the oracle-checked query
+    val conf = SparkEntry.queries("metrics_confusion")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val heat = Plots.confusionHeatmapSvg(conf)
+    wellFormed(heat)
+    conf.map(_._1).distinct.foreach(l => assert(heat.contains(l)))
+
+    // label distribution: bar widths proportional to counts
+    val dist = Plots.labelDistributionSvg(Seq(("O", 1000L), ("B-Diseases", 500L), ("I-Drug", 250L)))
+    wellFormed(dist)
+    val widths = "rx=\"2\"".r.findAllMatchIn(dist).toSeq
+    val ws = """<rect x="130" y="\d+" width="([0-9.]+)"""".r
+      .findAllMatchIn(dist).map(_.group(1).toDouble).toSeq
+    assert(ws.size == 3 && math.abs(ws(0) / ws(1) - 2.0) < 0.02 && math.abs(ws(1) / ws(2) - 2.0) < 0.02,
+      s"bar widths not proportional: $ws")
+  }
+
   test("vacuum sweeps stale temp manifests and broken-lease markers, not fresh ones") {
     import spark.implicits._
     val root = tmpDir("iceberg_vacuum_tmp")
