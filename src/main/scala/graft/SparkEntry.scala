@@ -314,6 +314,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     }),
+    "q_docs_pack" -> ((s, dir) => {
+      // LLM sequence packing: greedy fill into ≤4096-token packs within
+      // fixed 64-doc id blocks — deterministic for any partitioning, one
+      // bounded flatMapGroups per block, shuffle carries (id, tokens)
+      graft.ops.Packing.packGreedy(
+        s.read.parquet(t(dir, "documents")), "doc_id", "n_chars",
+        capacity = 4096L, blockSize = 64)
+        .orderBy("doc_id")
+    }),
     "q_events_pivot" -> ((s, dir) => {
       // PIVOT: per-user event counts spread over the bounded event-type
       // domain (missing combos filled with 0 to match COUNT FILTER)
@@ -1224,6 +1233,27 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_docs_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, n_chars AS n_tokens, doc_id // 64 AS pack_block,
+        |         row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |fill AS (
+        |  SELECT pack_block, rn, doc_id, n_tokens, n_tokens AS acc,
+        |         CAST(0 AS BIGINT) AS pack_seq
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.pack_block, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN f.acc + d.n_tokens > 4096 THEN d.n_tokens
+        |         ELSE f.acc + d.n_tokens END,
+        |    CASE WHEN f.acc + d.n_tokens > 4096 THEN f.pack_seq + 1
+        |         ELSE f.pack_seq END
+        |  FROM fill f JOIN docs d ON d.pack_block = f.pack_block AND d.rn = f.rn + 1),
+        |tot AS (SELECT pack_block, pack_seq, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |        FROM fill GROUP BY 1, 2)
+        |SELECT f.doc_id, f.n_tokens, f.pack_block, f.pack_seq, t.pack_tokens
+        |FROM fill f JOIN tot t USING (pack_block, pack_seq)
+        |ORDER BY f.doc_id""".stripMargin,
     "q_events_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

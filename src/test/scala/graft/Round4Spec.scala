@@ -130,6 +130,45 @@ class Round4Spec extends AnyFunSuite {
     assert(Icebergish.read(spark, root).count() == 1)
   }
 
+  test("greedy sequence packing: capacity respected, docs preserved, partition-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val docs = (0L until 500L).map(id => (id, 1L + rnd.nextInt(3000).toLong)) :+
+      (500L, 9000L) // oversized doc: must sit in a pack of its own
+    val cap = 4096L
+    def run(parts: Int) = graft.ops.Packing.packGreedy(
+      docs.toDF("doc_id", "n_chars").repartition(parts), "doc_id", "n_chars", cap, blockSize = 32)
+      .select("doc_id", "n_tokens", "pack_block", "pack_seq", "pack_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(1)
+    val b = run(13)
+    assert(a == b, "packing depends on partitioning")
+    // every doc exactly once, token counts preserved
+    assert(a.map(_._1) == docs.map(_._1).sorted)
+    assert(a.map(r => r._1 -> r._2).toMap == docs.toMap)
+    // pack capacity: only single-doc packs may exceed it
+    val packs = a.groupBy(r => (r._3, r._4))
+    packs.foreach { case (key, members) =>
+      val total = members.map(_._2).sum
+      assert(members.forall(_._5 == total), s"pack_tokens inconsistent in $key")
+      assert(total <= cap || members.size == 1, s"multi-doc pack $key exceeds capacity: $total")
+    }
+    // the oversized doc is alone in its pack
+    val over = a.find(_._1 == 500L).get
+    assert(packs((over._3, over._4)).size == 1 && over._5 == 9000L)
+    // greedy within a block: a doc never fits in the PREVIOUS pack of its
+    // block (otherwise greedy would have put it there)
+    a.groupBy(_._3).foreach { case (_, blockRows) =>
+      val byId = blockRows.sortBy(_._1)
+      byId.sliding(2).foreach {
+        case Seq(prev, cur) if cur._4 == prev._4 + 1 =>
+          val prevTotal = packs((prev._3, prev._4)).map(_._2).sum
+          assert(prevTotal + cur._2 > cap, "doc started a new pack while fitting the previous")
+        case _ =>
+      }
+    }
+  }
+
   test("TopK.perKey equals the sort-based reference on randomized inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(44L)
