@@ -314,6 +314,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     }),
+    "q_docs_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing any word 3-gram
+      // with the benchmark subset (doc_id % 29 == 0) are dropped; the
+      // benchmark's shingle-hash set broadcasts, hashes on the wire
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bench = docs.filter(col("doc_id") % 29 === 0)
+      graft.ops.Decontaminate.decontaminate(docs, bench, "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_docs_pack" -> ((s, dir) => {
       // LLM sequence packing: greedy fill into ≤4096-token packs within
       // fixed 64-doc id blocks — deterministic for any partitioning, one
@@ -1233,6 +1242,25 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_docs_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |shx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |         ELSE list_transform(range(1, len(l) - 1),
+        |                             i -> array_to_string(l[i:i+2], ' ')) END AS shl
+        |  FROM base),
+        |sh AS (SELECT doc_id, unnest(shl) AS shingle FROM shx),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+        |contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (shingle))
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
     "q_docs_pack" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, n_chars AS n_tokens, doc_id // 64 AS pack_block,

@@ -114,6 +114,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the benchmark shingle set; corpus text never shuffles") {
+    val df = SparkEntry.queries("q_docs_decontaminate")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "benchmark shingle join is not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "decontamination degraded to a data-sized shuffle join")
+    assert(p.contains("shingle_hashes") && !p.contains("ScalaUDF"),
+      "shingling is not the native expression")
+  }
+
   test("exact dedup drops duplicates via partial aggregation, not a window rank") {
     // the window plan shuffles and sorts EVERY row; min_by over the
     // identity key forwards at most one row per distinct text per task
