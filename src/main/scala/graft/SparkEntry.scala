@@ -314,6 +314,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     }),
+    "q_docs_redact_pii" -> ((s, dir) => {
+      // PII scrub: pure regexp_replace chain (codegen'd) — URL, email,
+      // IPv4, phone; pattern set restricted to Java-regex/RE2-identical
+      // constructs so the DuckDB oracle runs the same expressions
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.redactPiiCol(col("text")).as("text_redacted"))
+        .orderBy("doc_id")
+    }),
+    "q_docs_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality stats over word 2-grams; hash
+      // multiset from the native shingle expression, counts only on the
+      // wire, zero-gram docs kept with zeros
+      graft.ops.TextAnalysis.repetitionStats(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id", w = 2)
+        .orderBy("doc_id")
+    }),
     "q_docs_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: training docs sharing any word 3-gram
       // with the benchmark subset (doc_id % 29 == 0) are dropped; the
@@ -1242,6 +1259,38 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_docs_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]?\d{3,4}[-.]?\d{4}\b', '<PHONE>', 'g') AS text_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(l) < 2 THEN [array_to_string(l, ' ')]
+        |         ELSE list_transform(range(1, len(l)),
+        |                             i -> array_to_string(l[i:i+1], ' ')) END AS gl
+        |  FROM base),
+        |g AS (SELECT doc_id, unnest(gl) AS gram FROM gr),
+        |pg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |         CAST(max(n) AS BIGINT) AS top_gram_n, count(*) AS distinct_grams
+        |       FROM pg GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_grams, 0) AS n_grams,
+        |  coalesce(pd.top_gram_n, 0) AS top_gram_n,
+        |  round(coalesce(pd.top_gram_n / pd.n_grams, 0.0), 6) AS top_gram_frac,
+        |  round(coalesce((pd.n_grams - pd.distinct_grams) / pd.n_grams, 0.0), 6) AS dup_gram_frac
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_docs_decontaminate" ->
       """WITH base AS (
         |  SELECT doc_id,

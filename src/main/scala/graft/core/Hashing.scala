@@ -109,9 +109,16 @@ object Hashing {
     * internal to the inverted-index dedup operators (only equality
     * matters), so they use this library's own string hash.
     */
-  def shingleHashes(text: String, w: Int): Array[Long] = {
+  def shingleHashes(text: String, w: Int): Array[Long] =
+    shingleHashes(text, w, dedup = true)
+
+  /** All (or distinct) shingle hashes: `dedup = false` keeps every
+    * occurrence in order — the repetition-statistics operators need the
+    * multiset, the membership/index operators the set.
+    */
+  def shingleHashes(text: String, w: Int, dedup: Boolean): Array[Long] = {
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
     val out = Array.newBuilder[Long]
     if (toks.isEmpty) return Array.empty
     if (toks.length < w) return Array(hashString(toks.mkString(" ")))
@@ -126,7 +133,7 @@ object Hashing {
         j += 1
       }
       val h = hashString(sb.toString)
-      if (seen.add(h)) out += h
+      if (seen == null || seen.add(h)) out += h
       i += 1
     }
     out.result()

@@ -15,32 +15,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-shingle UTF8String allocation, and the explode consumes a plain
   * long array. `w` is a plan-time constant baked into generated code.
   */
-case class ShingleHashes(child: Expression, w: Int)
+case class ShingleHashes(child: Expression, w: Int, dedup: Boolean = true)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def inputTypes: Seq[GraftSqlBridge.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String = if (dedup) "shingle_hashes" else "shingle_hashes_all"
 
   override def nullSafeEval(s: Any): Any =
     ArrayData.toArrayData(
-      graft.core.Hashing.shingleHashes(s.asInstanceOf[UTF8String].toString, w))
+      graft.core.Hashing.shingleHashes(s.asInstanceOf[UTF8String].toString, w, dedup))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
-        s"graft.core.Hashing.shingleHashes($c.toString(), $w))")
+        s"graft.core.Hashing.shingleHashes($c.toString(), $w, $dedup))")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
 object ShingleHashes {
-  /** Column API: `shingle_hashes(text, w)` → array<bigint>. */
-  def shingle_hashes(c: Column, w: Int): Column =
-    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(c), w))
+  /** Column API: `shingle_hashes(text, w)` → array<bigint> (distinct;
+    * pass `dedup = false` for the ordered multiset).
+    */
+  def shingle_hashes(c: Column, w: Int, dedup: Boolean = true): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(c), w, dedup))
 
   /** Register as a SQL function; `w` must be an integer literal. */
   def register(spark: SparkSession): Unit =

@@ -183,4 +183,68 @@ object TextAnalysis {
     * matching the UDF's languageId(null) behavior). */
   def languageIdCol(c: Column): Column =
     graft.functions.LanguageId.language_id(coalesce(c, lit("")))
+
+  // --------------------------------------------------- PII redaction
+
+  /** PII patterns, ordered (URL first so addresses inside URLs redact as
+    * part of the URL). Kept to constructs with IDENTICAL semantics in
+    * Java regex (Spark codegen) and RE2 (the DuckDB oracle): character
+    * classes, bounded repetition, \b, alternation — no lookaround, no
+    * backrefs. ASCII \d/\w in both engines.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-.]?\\d{3,4}[-.]?\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact PII in place — a pure `regexp_replace` chain (codegen'd, no
+    * UDF), the standard pre-training scrub for emails/IPs/phones/URLs.
+    */
+  def redactPiiCol(c: Column): Column =
+    PiiPatterns.foldLeft(coalesce(c, lit(""))) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    }
+
+  /** `redactPii(df)`: every column untouched except `textCol` scrubbed. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, redactPiiCol(col(textCol)))
+
+  // --------------------------------------------- repetition statistics
+
+  /** Gopher-style repetition statistics per document over word w-grams:
+    *
+    *  - `n_grams`        total w-gram occurrences,
+    *  - `top_gram_n`     occurrences of the most frequent w-gram,
+    *  - `top_gram_frac`  top_gram_n / n_grams (the "fraction in the most
+    *                     common n-gram" quality rule),
+    *  - `dup_gram_frac`  (n_grams − distinct)/n_grams.
+    *
+    * Relational shape: one explode of the NON-distinct native shingle
+    * hashes (only counts matter, so hashes — never gram strings — hit
+    * the shuffle), a (doc, gram) count with map-side combine, then a
+    * per-doc aggregate. Documents too short for any gram keep a row with
+    * zeros (left join back), so the filter `top_gram_frac > t` never
+    * silently drops them.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String, w: Int = 2): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("id"),
+      explode(graft.functions.ShingleHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), w, dedup = false)).as("g"))
+    val perGram = grams.groupBy("id", "g").agg(count(lit(1)).as("n"))
+    val perDoc = perGram.groupBy("id").agg(
+      sum("n").as("n_grams"),
+      max("n").as("top_gram_n"),
+      count(lit(1)).as("distinct_grams"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_gram_n"), lit(0L)).as("top_gram_n"),
+        round(coalesce(col("top_gram_n") / col("n_grams"), lit(0.0)), 6).as("top_gram_frac"),
+        round(coalesce((col("n_grams") - col("distinct_grams")) / col("n_grams"), lit(0.0)), 6)
+          .as("dup_gram_frac"))
+  }
 }

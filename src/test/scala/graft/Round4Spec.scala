@@ -130,6 +130,38 @@ class Round4Spec extends AnyFunSuite {
     assert(Icebergish.read(spark, root).count() == 1)
   }
 
+  test("PII redaction scrubs planted identifiers; repetition stats flag duplicated text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val planted = Seq(
+      (1L, "contact me at john.doe+spam@example.co.uk today"),
+      (2L, "server at 192.168.1.254 responded"),
+      (3L, "call 555-123-4567 or 5551234567 now"),
+      (4L, "docs at https://example.com/a?b=c#d explain it"),
+      (5L, "clean text with no identifiers at all"))
+    val got = graft.ops.TextAnalysis.redactPii(planted.toDF("doc_id", "text"), "text")
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(got == Seq(
+      "contact me at <EMAIL> today",
+      "server at <IP> responded",
+      "call <PHONE> or <PHONE> now",
+      "docs at <URL> explain it",
+      "clean text with no identifiers at all"))
+
+    val rep = graft.ops.TextAnalysis.repetitionStats(
+      Seq((1L, "spam spam spam spam"), (2L, "all words here differ"), (3L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", w = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "top_gram_n", "top_gram_frac", "dup_gram_frac")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // "spam spam" occurs 3x of 3 bigrams; doc 2 has 3 distinct bigrams;
+    // empty doc keeps a zero row
+    assert(rep == Seq(
+      (1L, 3L, 3L, 1.0, 0.666667),
+      (2L, 3L, 1L, 0.333333, 0.0),
+      (3L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("greedy sequence packing: capacity respected, docs preserved, partition-independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(11L)
