@@ -314,6 +314,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     }),
+    "q_docs_curation_full" -> ((s, dir) => {
+      // the FULL modern recipe: dedup → decontaminate → langid →
+      // quality → repetition cap → stratified sample → PII redaction
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.ops.Curation.curateFull(
+        docs, docs.filter(col("doc_id") % 193 === 0), "doc_id", "text",
+        allowedLangs = Set("en", "zh"), minQuality = 0.5, maxTopGramFrac = 0.15,
+        sampleRates = Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.6, seed = 0xCA7EL)
+        .orderBy("doc_id")
+    }),
     "q_docs_redact_pii" -> ((s, dir) => {
       // PII scrub: pure regexp_replace chain (codegen'd) — URL, email,
       // IPv4, phone; pattern set restricted to Java-regex/RE2-identical
@@ -333,10 +343,10 @@ object SparkEntry {
     }),
     "q_docs_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: training docs sharing any word 3-gram
-      // with the benchmark subset (doc_id % 29 == 0) are dropped; the
+      // with the benchmark subset (doc_id % 193 == 0) are dropped; the
       // benchmark's shingle-hash set broadcasts, hashes on the wire
       val docs = s.read.parquet(t(dir, "documents"))
-      val bench = docs.filter(col("doc_id") % 29 === 0)
+      val bench = docs.filter(col("doc_id") % 193 === 0)
       graft.ops.Decontaminate.decontaminate(docs, bench, "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
@@ -1259,6 +1269,60 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_docs_curation_full" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, text, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+         |  FROM documents),
+         |surv AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM norm)
+         |  WHERE rn = 1),
+         |tokl AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS l
+         |  FROM documents),
+         |sh3x AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         |         ELSE list_transform(range(1, len(l) - 1),
+         |                             i -> array_to_string(l[i:i+2], ' ')) END AS shl
+         |  FROM tokl),
+         |sh3 AS (SELECT doc_id, unnest(shl) AS shingle FROM sh3x),
+         |bsh AS (SELECT DISTINCT shingle FROM sh3 WHERE doc_id % 193 = 0),
+         |cont AS (SELECT DISTINCT s.doc_id FROM sh3 s JOIN bsh USING (shingle)),
+         |q AS (SELECT doc_id FROM documents
+         |  WHERE round(least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.5
+         |    + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+         |          / greatest(length(text), 1), 6) * 10, 1.0)) * 0.25
+         |    + least(round(len(list_filter(string_split(trim(text), ' '),
+         |          t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) * 1.0
+         |          / greatest(len(string_split(trim(text), ' ')), 1), 6) * 5, 1.0) * 0.25, 4) >= 0.5),
+         |lang AS (SELECT doc_id FROM ${fx("expected_langid")} WHERE lang_pred IN ('en', 'zh')),
+         |gr2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(l) < 2 THEN [array_to_string(l, ' ')]
+         |         ELSE list_transform(range(1, len(l)),
+         |                             i -> array_to_string(l[i:i+1], ' ')) END AS gl
+         |  FROM tokl),
+         |g2 AS (SELECT doc_id, unnest(gl) AS gram FROM gr2),
+         |pg AS (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, sum(n) AS n_grams, max(n) AS top_gram_n FROM pg GROUP BY 1),
+         |rep AS (SELECT d.doc_id FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |        WHERE round(coalesce(pd.top_gram_n / pd.n_grams, 0.0), 6) <= 0.15),
+         |gate AS (SELECT doc_id FROM ${fx("expected_curation_gate")})
+         |SELECT d.doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(coalesce(d.text, ''),
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}[-.]?\\d{3,4}[-.]?\\d{4}\\b', '<PHONE>', 'g') AS text_redacted
+         |FROM documents d
+         |JOIN surv USING (doc_id) JOIN q USING (doc_id)
+         |JOIN lang USING (doc_id) JOIN rep USING (doc_id) JOIN gate USING (doc_id)
+         |LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
     "q_docs_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
@@ -1304,7 +1368,7 @@ object SparkEntry {
         |                             i -> array_to_string(l[i:i+2], ' ')) END AS shl
         |  FROM base),
         |sh AS (SELECT doc_id, unnest(shl) AS shingle FROM shx),
-        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 193 = 0),
         |contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (shingle))
         |SELECT d.doc_id FROM documents d
         |LEFT JOIN contaminated c ON d.doc_id = c.doc_id

@@ -124,6 +124,17 @@ class PlanSpec extends AnyFunSuite {
       "shingling is not the native expression")
   }
 
+  test("full curation funnel: no cartesian, no UDF, no window; bench shingles broadcast") {
+    // seven stages composed in one plan — any silent degradation (window
+    // dedup, shuffled decontamination join, UDF boundary) shows up here
+    val df = SparkEntry.queries("q_docs_curation_full")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF") && !p.contains("Window"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"), "benchmark shingle join is not broadcast")
+    assert(p.contains("shingle_hashes") && p.contains("language_id"),
+      "curation stages are not the native expressions")
+  }
+
   test("exact dedup drops duplicates via partial aggregation, not a window rank") {
     // the window plan shuffles and sorts EVERY row; min_by over the
     // identity key forwards at most one row per distinct text per task

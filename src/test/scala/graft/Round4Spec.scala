@@ -337,6 +337,33 @@ class Round4Spec extends AnyFunSuite {
     assert(outLines.exists(_.matches("-- \\d+ sentence\\(s\\), [1-9]\\d* entities --")))
   }
 
+  test("curateFull composes the seven-stage recipe: subset of curate, bench excluded, PII applied, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.curateFull(
+        df, df.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        allowedLangs = Set("en", "zh"), minQuality = 0.5, maxTopGramFrac = 0.15,
+        sampleRates = Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.6, seed = 0xCA7EL)
+    val out = full(docs).as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    // same gate/seed/rates as curate: the extra guards can only shrink the set
+    val base = graft.ops.Curation.curate(docs, "doc_id", "text",
+      allowedLangs = Set("en", "zh"), minQuality = 0.5,
+      sampleRates = Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.6, seed = 0xCA7EL)
+      .as[Long].collect().toSet
+    assert(out.keySet.subsetOf(base) && out.size < base.size)
+    // benchmark docs self-contaminate (every non-empty doc shares its own
+    // 3-grams), so none survives decontamination
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id").as[Long].collect().toSet
+    assert(out.keySet.intersect(bench).isEmpty)
+    // the surviving text went through the PII scrub
+    assert(out.values.forall(t => !t.contains("http://") && !t.contains("https://")))
+    // partition-layout independence
+    assert(full(docs.repartition(13)).as[(Long, String)].collect().toMap == out)
+  }
+
   test("racing committers over mixed append/upsert keep a linear snapshot chain and lose no update") {
     import spark.implicits._
     val root = tmpDir("iceberg_race_model")
