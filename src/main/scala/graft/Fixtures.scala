@@ -148,6 +148,40 @@ object Fixtures {
       }.toDF("doc_id"), "expected_stratified_sample")
     }
 
+    // mixture-gate replica: per-source rates re-derived with a local loop
+    // (token totals via the same single-space split as the op), then the
+    // seeded per-id gate. The RATE values are independently recomputed by
+    // the oracle SQL in DuckDB; this fixture pins only the gate MEMBERSHIP
+    // (the partition-independent draw DuckDB cannot express).
+    locally {
+      def sparkTrim(s: String): String = { // Spark trim strips ' ' only (not \t\n like String.trim)
+        var b = 0; var e = s.length
+        while (b < e && s.charAt(b) == ' ') b += 1
+        while (e > b && s.charAt(e - 1) == ' ') e -= 1
+        s.substring(b, e)
+      }
+      val srcDocs: Seq[(Long, String, String)] = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      def toks(t: String): Long =
+        if (t == null) 0L else sparkTrim(t).split(" ", -1).length.toLong
+      val totals = srcDocs.groupBy(_._2).map { case (s, g) => s -> g.map(d => toks(d._3)).sum }
+      val wts = SparkEntry.MixtureWeights.toMap
+      val mixRates = totals.collect { case (s, t) if wts.contains(s) && t > 0L =>
+        s -> math.min(1.0, SparkEntry.MixtureBudget * wts(s) / t)
+      }
+      write(srcDocs.collect { case (id, src, _) if
+          Hashing.uniformDouble(Hashing.hash2(SparkEntry.MixtureSeed, id)) <
+            mixRates.getOrElse(src, 0.0) => id
+        }.toDF("doc_id"), "expected_mixture_sample")
+    }
+
+    // shuffle-shard replica: the bijective hash draw per id, sequentially
+    // (distributed machinery under test: the narrow projection must agree
+    // with this scalar kernel bit-for-bit under any partitioning)
+    write(docs.map { case (id, _) => (id, Hashing.hash2(SparkEntry.ShardSeed, id)) }
+      .toDF("doc_id", "h"), "expected_shuffle_hash")
+
     write(docs.map { case (id, t) => (id, Dedup.simhash(if (t == null) "" else t)) }
       .toDF("doc_id", "simhash"), "expected_simhash")
     write(docs.map { case (id, t) => (id, TextAnalysis.languageId(t)) }

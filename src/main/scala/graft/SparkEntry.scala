@@ -21,6 +21,18 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** q_docs_mixture's mixture spec — shared by the query, its oracle SQL,
+    * and the Fixtures gate replica so the three can never drift apart.
+    */
+  private[graft] val MixtureWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.35, "src1" -> 0.25, "src2" -> 0.20, "src3" -> 0.15, "src4" -> 0.05)
+  private[graft] val MixtureBudget: Long = 6000L
+  private[graft] val MixtureSeed: Long = 0x313F7EL
+
+  /** q_docs_shuffle_shard's layout — shared with the Fixtures hash replica. */
+  private[graft] val ShardCount: Int = 8
+  private[graft] val ShardSeed: Long = 0x5EEDL
+
   /** Oracle fixture table (staged by [[Fixtures.stage]]; `{OUT}` is
     * substituted with the verify outDir when `oracle_sql.json` is written).
     */
@@ -434,6 +446,29 @@ object SparkEntry {
       Sampling.stratified(s.read.parquet(t(dir, "documents")), "doc_id", "lang",
         Map("zh" -> 1.0, "en" -> 0.2), defaultFrac = 0.5, seed = 0x5A3EL)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "q_docs_mixture" -> ((s, dir) => {
+      // token-budget data mixing: per-source rates DERIVED from target
+      // mixture weights + a global token budget (small sources saturate
+      // at rate 1), then the seeded per-id gate
+      graft.ops.Mixture.sampleToBudget(s.read.parquet(t(dir, "documents")),
+        "doc_id", "source", "text", MixtureWeights.toMap, MixtureBudget, MixtureSeed)
+        .orderBy("doc_id")
+    }),
+    "q_docs_shuffle_shard" -> ((s, dir) => {
+      // deterministic training-export shuffle: bijective hash position +
+      // shard assignment (the write path is Export.writeShards)
+      graft.ops.Export.shuffleShard(s.read.parquet(t(dir, "documents"))
+        .select("doc_id"), "doc_id", ShardCount, ShardSeed)
+        .orderBy("doc_id")
+    }),
+    "q_docs_tfidf_keywords" -> ((s, dir) => {
+      // per-source keyword profile: top-10 tokens by tf * N / df (exact
+      // idf-ratio scoring; window runs on the vocab-bounded aggregate)
+      graft.ops.TfIdf.topTermsPerSource(s.read.parquet(t(dir, "documents")),
+        "doc_id", "source", "text", k = 10)
+        .orderBy("source", "rank")
     }),
 
     // ---------------------------------------------------------------- dedup / similarity / multimodal (rows-only)
@@ -1257,6 +1292,49 @@ object SparkEntry {
       s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
     "q_docs_stratified_sample" ->
       s"""SELECT doc_id FROM ${fx("expected_stratified_sample")} ORDER BY doc_id""",
+    "q_docs_mixture" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t FROM tok GROUP BY 1),
+         |rates AS (
+         |  SELECT source, least(1.0, $MixtureBudget * w.wt / tot.t) AS rate
+         |  FROM tot JOIN (VALUES ${MixtureWeights
+               .map { case (s, w) => s"('$s', $w)" }.mkString(", ")}) AS w(source, wt)
+         |    USING (source)
+         |  WHERE tot.t > 0),
+         |gate AS (SELECT doc_id FROM ${fx("expected_mixture_sample")})
+         |SELECT k.doc_id, k.source, k.n_tokens, round(r.rate, 6) AS rate
+         |FROM tok k JOIN rates r USING (source) JOIN gate USING (doc_id)
+         |ORDER BY k.doc_id""".stripMargin,
+    "q_docs_shuffle_shard" ->
+      s"""SELECT doc_id,
+         |  CAST(((h % $ShardCount) + $ShardCount) % $ShardCount AS INT) AS shard,
+         |  h AS sort_key
+         |FROM ${fx("expected_shuffle_hash")} ORDER BY doc_id""".stripMargin,
+    "q_docs_tfidf_keywords" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, source, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM tokens WHERE token <> ''),
+        |docfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+        |termfreq AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY source, token),
+        |scored AS (
+        |  SELECT t.source, t.token, t.tf, d.df,
+        |    round(CAST(t.tf AS DOUBLE) * (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+        |          / CAST(d.df AS DOUBLE), 6) AS score
+        |  FROM termfreq t JOIN docfreq d USING (token)),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, token ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT source, token, tf, df, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     "q_docs_length_quantiles" ->
       """SELECT lang,
         |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
