@@ -177,6 +177,19 @@ object SparkEntry {
       graft.explain.Attribution.attributions(mentions, crfTransitions(s, dir))
         .orderBy("doc_id", "span_idx", "start", "rank")
     }),
+    "kg_mean_attention" -> ((s, dir) => {
+      // A10 analog (model_explainability.py:73-77,146): per-token mean of
+      // the detector's attention structure — span co-membership (the 8.0
+      // emission evidence) + O-prior self-attention (2.0) — over an
+      // explained doc subset (the full matrix is per-sentence viz; the
+      // MEAN is the queryable reduce). Doc predicate prunes before detect.
+      val (_, docs) = goldAndDocs(s, dir)
+      val scoped = docs.filter(col("doc_id") < "doc-0000000100")
+      val mentions = KgPipeline.detectMentions(scoped, DocsGen.vocabEntries).toDF()
+      graft.explain.AttentionMap.meanTokenAttention(
+        KgPipeline.sentences(scoped).toDF(), mentions)
+        .orderBy("doc_id", "span_idx", "pos")
+    }),
 
     // ---------------------------------------------------------------- relational core (oracle-checked)
     "q_lineitem_pricing" -> ((s, dir) => {
@@ -1162,6 +1175,22 @@ object SparkEntry {
          |  FROM m JOIN bi USING (entity_type) JOIN ii USING (entity_type))
          |SELECT doc_id, span_idx, entity_type, text, "start", "end", rank, feature, weight
          |FROM f ORDER BY doc_id, span_idx, "start", rank""".stripMargin,
+    "kg_mean_attention" ->
+      s"""WITH s AS (SELECT doc_id, span_idx, len FROM ${fx("gold_sentences")}
+         |           WHERE doc_id < 'doc-0000000100'),
+         |p AS (SELECT doc_id, span_idx, pos FROM ${fx("gold_tags")}
+         |      WHERE doc_id < 'doc-0000000100'),
+         |m AS (SELECT doc_id, span_idx, entity_type, "start", "end",
+         |        ("end" - "start") AS mlen
+         |      FROM ${fx("gold_mentions")} WHERE doc_id < 'doc-0000000100')
+         |SELECT p.doc_id, p.span_idx, CAST(p.pos AS INT) AS pos,
+         |  coalesce(m.entity_type, 'O') AS entity_type,
+         |  round(CAST(coalesce(8.0 * m.mlen, 2.0) AS DOUBLE) / s.len, 6) AS mean_att
+         |FROM p
+         |JOIN s USING (doc_id, span_idx)
+         |LEFT JOIN m ON p.doc_id = m.doc_id AND p.span_idx = m.span_idx
+         |  AND p.pos >= m."start" AND p.pos < m."end"
+         |ORDER BY p.doc_id, p.span_idx, pos""".stripMargin,
 
     "lexicon_prune" ->
       s"""WITH $lexCte,
