@@ -45,21 +45,20 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up (untimed, standard bench protocol — BASELINE.md §Scaling):
-    // JIT + whole-stage-codegen compilation + parquet footer caches, on a
-    // small relational query AND a tiny end-to-end KG run (~300 docs) so
-    // the timed queries measure steady-state throughput, not first-call
-    // JVM compilation of the detector/CC/link code paths
+    // one full untimed rep of EVERY headline query. JIT + whole-stage-
+    // codegen compilation + parquet footer caches are PER-PLAN, so
+    // warming a single query (the r2-r3 protocol) left the first timed
+    // rep of each other query absorbing its own first-call compilation —
+    // with 5-rep medians that cold rep still drags the median whenever
+    // host noise taxes one more rep. The timed series below measures
+    // steady-state throughput only.
     var warmupFailed = false
+    val names = headline.filter(SparkEntry.queries.contains)
     try {
-      SparkEntry.queries("q_lineitem_pricing")(spark, sfDir).count()
-      val (t, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(
-        graft.data.DocsGen.docs(graft.data.DocsGen.gen(spark, 300, seed = 42L)),
-        graft.data.Lexicon.fromSurfaces {
-          import spark.implicits._
-          graft.data.DocsGen.vocabEntries.toDS()
-        })
-      t.count(); cleanup()
-      spark.catalog.clearCache()
+      names.foreach { name =>
+        SparkEntry.queries(name)(spark, sfDir).count()
+        spark.catalog.clearCache()
+      }
     } catch {
       case e: Throwable =>
         // fail LOUDLY (r2 VERDICT "What's wrong" #4): a broken warm-up
@@ -83,7 +82,6 @@ object Bench {
     //    shifting medians.
     // Each run is measured cold (internal caches cleared between runs).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-    val names = headline.filter(SparkEntry.queries.contains)
     val raw = scala.collection.mutable.LinkedHashMap(names.map(_ -> Vector.empty[Double]): _*)
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     val failedQ = scala.collection.mutable.Set.empty[String]
