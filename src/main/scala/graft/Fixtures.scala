@@ -174,6 +174,35 @@ object Fixtures {
           Hashing.uniformDouble(Hashing.hash2(SparkEntry.MixtureSeed, id)) <
             mixRates.getOrElse(src, 0.0) => id
         }.toDF("doc_id"), "expected_mixture_sample")
+
+      // HLL replica: same registers, built SEQUENTIALLY per source (the
+      // distributed machinery under test is the map-side partial register
+      // build + per-register-max merge — bit-identical results under any
+      // partitioning is the sketch's mergeability claim)
+      val hllRows = srcDocs
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (src, g) =>
+          val regs = graft.core.Hll.newRegisters(graft.core.Hll.DefaultP)
+          g.sortBy(_._1).foreach { case (_, _, txt) =>
+            if (txt != null)
+              sparkTrim(txt).toLowerCase.split(" ", -1)
+                .foreach(tok => if (tok.nonEmpty) graft.core.Hll.addString(regs, tok))
+          }
+          (src, graft.core.Hll.estimateLong(regs))
+        }
+      write(hllRows.toDF("source", "est_distinct"), "expected_hll")
+
+      // weighted-sample replica: the same u^(1/w) draw and top-k taken
+      // sequentially (distributed machinery under test: the per-partition
+      // bounded top-k + driver merge must equal the global order)
+      val docChars: Seq[(Long, Long)] = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val weighted = docChars.collect { case (id, nc) if nc > 0L =>
+        (id, nc, math.pow(
+          Hashing.uniformDouble(Hashing.hash2(SparkEntry.WeightedSeed, id)), 1.0 / nc))
+      }.sortBy { case (id, _, key) => (-key, id) }.take(SparkEntry.WeightedK)
+      write(weighted.toDF("doc_id", "n_chars", "samp_key"), "expected_weighted_sample")
     }
 
     // shuffle-shard replica: the bijective hash draw per id, sequentially

@@ -33,6 +33,10 @@ object SparkEntry {
   private[graft] val ShardCount: Int = 8
   private[graft] val ShardSeed: Long = 0x5EEDL
 
+  /** q_docs_weighted_sample's draw — shared with the Fixtures replica. */
+  private[graft] val WeightedK: Int = 200
+  private[graft] val WeightedSeed: Long = 0xE512L
+
   /** Oracle fixture table (staged by [[Fixtures.stage]]; `{OUT}` is
     * substituted with the verify outDir when `oracle_sql.json` is written).
     */
@@ -482,6 +486,33 @@ object SparkEntry {
       graft.ops.TfIdf.topTermsPerSource(s.read.parquet(t(dir, "documents")),
         "doc_id", "source", "text", k = 10)
         .orderBy("source", "rank")
+    }),
+    "q_docs_weighted_sample" -> ((s, dir) => {
+      // length-weighted corpus selection WITHOUT replacement: u^(1/w)
+      // keys (Efraimidis-Spirakis) on the seeded per-id draw; the global
+      // top-k plans as TakeOrderedAndProject — bounded per-partition
+      // top-k then a k-row driver merge, no full sort, no corpus shuffle
+      graft.ops.Sampling.weightedTopK(
+        s.read.parquet(t(dir, "documents")).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", WeightedK, WeightedSeed)
+        .orderBy("doc_id")
+    }),
+    "q_docs_hll_distinct" -> ((s, dir) => {
+      // approximate distinct-token cardinality per source via the native
+      // mergeable HLL aggregate (4 KiB registers per group; token values
+      // never shuffle). The distributed machinery under test is the
+      // partial-aggregate register merge: the fixture replays the same
+      // kernel sequentially, so equality proves partition independence.
+      // Exact distinct rides along so the sketch error is in the record.
+      val tokens = s.read.parquet(t(dir, "documents"))
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), " ")).as("token"))
+        .filter(col("token") =!= "")
+      tokens.groupBy("source")
+        .agg(
+          graft.functions.HllDistinct.hll_distinct(col("token")).as("est_distinct"),
+          count_distinct(col("token")).as("exact_distinct"))
+        .orderBy("source")
     }),
 
     // ---------------------------------------------------------------- dedup / similarity / multimodal (rows-only)
@@ -1364,6 +1395,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT source, token, tf, df, score, rank FROM ranked
         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    "q_docs_weighted_sample" ->
+      s"""SELECT doc_id, n_chars, samp_key
+         |FROM ${fx("expected_weighted_sample")} ORDER BY doc_id""".stripMargin,
+    "q_docs_hll_distinct" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT source, token FROM tk WHERE token <> ''),
+         |ex AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+         |       FROM t2 GROUP BY source)
+         |SELECT e.source, h.est_distinct, e.exact_distinct
+         |FROM ex e JOIN ${fx("expected_hll")} h USING (source)
+         |ORDER BY e.source""".stripMargin,
     "q_docs_length_quantiles" ->
       """SELECT lang,
         |  round(quantile_cont(n_chars, 0.25), 4) AS p25,

@@ -70,5 +70,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ShingleHashes(exprs(0), w)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(
+        classOf[HllDistinct].getName,
+        null,
+        "hll_distinct",
+        "_FUNC_(x[, p]) - mergeable deterministic HLL approximate count-distinct (2^p registers; p an integer literal, default 12)",
+        ""),
+      { (exprs: Seq[Expression]) =>
+        val agg = exprs match {
+          case Seq(child) => HllDistinct(child)
+          case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) =>
+            HllDistinct(child, v)
+          case other => throw new IllegalArgumentException(
+            s"hll_distinct expects (value[, p literal]), got $other")
+        }
+        agg.toAggregateExpression()
+      }))
   }
 }

@@ -53,5 +53,6 @@ object Registry {
     ShingleHashes.register(spark)
     Fingerprint64.register(spark)
     LanguageId.register(spark)
+    HllDistinct.register(spark)
   }
 }

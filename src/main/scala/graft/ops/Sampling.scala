@@ -27,9 +27,35 @@ object Sampling {
     * power-of-two division — bit-identical to the scalar kernel, with no
     * UDF boundary in a gate that evaluates once per corpus row.
     */
-  private def gate(idCol: Column, seed: Long): Column = {
+  private[ops] def gate(idCol: Column, seed: Long): Column = {
     val h = graft.functions.Mix64.mix64(lit(Hashing.mix64(seed)).bitwiseXOR(idCol))
     shiftrightunsigned(h, 11).cast("double") / lit((1L << 53).toDouble)
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws `u = uniform(seed, id)` and keys on
+    * `u^(1/w)`; the k largest keys are a weighted sample — a row's
+    * inclusion probability is proportional to its weight, and the draw
+    * is a pure function of (seed, id) so the sample is identical under
+    * any partitioning. Rows with non-positive weight are excluded.
+    *
+    * Scale shape: the key is a narrow native-column projection; the
+    * global top-k plans as TakeOrderedAndProject (per-partition bounded
+    * top-k, driver merge of k·partitions rows) — no full sort, no
+    * shuffle of the corpus. Keep k far below driver memory.
+    */
+  def weightedTopK(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = gate(col(idCol).cast("long"), seed)
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("samp_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(desc("samp_key"), col(idCol))
+      .limit(k)
   }
 
   /** Keep each row with probability `frac`, deterministically per id. */

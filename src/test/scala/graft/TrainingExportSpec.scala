@@ -98,6 +98,35 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(all == (0L until 500L).toSet) // a shuffle is a partition, not a sample
   }
 
+  test("weightedTopK: matches the sequential replica, excludes w<=0, biases to weight") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, (i % 97) + 1L))
+    val df = rows.toDF("doc_id", "w")
+    val q = Sampling.weightedTopK(df, "doc_id", "w", 50, 0xABCDL)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val expect = rows
+      .map { case (id, w) =>
+        (id, w, math.pow(Hashing.uniformDouble(Hashing.hash2(0xABCDL, id)), 1.0 / w))
+      }
+      .sortBy { case (id, _, key) => (-key, id) }.take(50).sortBy(_._1)
+    assert(got.toSeq == expect)
+    // bounded top-k plan: per-partition TakeOrdered, no global sort exchange
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // partition-independent
+    val re = Sampling.weightedTopK(df.repartition(7), "doc_id", "w", 50, 0xABCDL)
+      .collect().map(_.getLong(0)).sorted
+    assert(re.toSeq == got.map(_._1).toSeq)
+    // non-positive weights are excluded entirely
+    val withZero = (rows :+ (9999L, 0L) :+ (9998L, -5L)).toDF("doc_id", "w")
+    val ids = Sampling.weightedTopK(withZero, "doc_id", "w", 2050, 0xABCDL)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9999L) && !ids.contains(9998L) && ids.size == 2000)
+    // weight-proportional bias: the sample's mean weight far exceeds the corpus mean
+    val sampleMeanW = got.map(_._2).sum.toDouble / got.length // corpus mean = 49
+    assert(sampleMeanW > 60.0, s"mean=$sampleMeanW")
+  }
+
   test("tfidf: scores and ranks match a brute-force replica on a planted corpus") {
     import spark.implicits._
     val docs = Seq(
