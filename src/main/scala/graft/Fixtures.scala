@@ -203,6 +203,50 @@ object Fixtures {
           Hashing.uniformDouble(Hashing.hash2(SparkEntry.WeightedSeed, id)), 1.0 / nc))
       }.sortBy { case (id, _, key) => (-key, id) }.take(SparkEntry.WeightedK)
       write(weighted.toDF("doc_id", "n_chars", "samp_key"), "expected_weighted_sample")
+
+      // Count-Min replica: same counters, built SEQUENTIALLY per source
+      // (the add is commutative elementwise arithmetic, so the sequential
+      // sketch must equal the distributed partial-agg + merge sketch
+      // bit-for-bit — the mergeability claim under test). Probes are the
+      // 5 globally most-frequent tokens, tie-broken by token, recomputed
+      // here the same way the Spark query derives them.
+      locally {
+        def docToks(t: String): Seq[String] =
+          if (t == null) Seq.empty
+          else sparkTrim(t).toLowerCase.split(" ", -1).toSeq.filter(_.nonEmpty)
+        val globalCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+        srcDocs.foreach { case (_, _, txt) => docToks(txt).foreach(t => globalCounts(t) += 1L) }
+        val top5 = globalCounts.toSeq.sortBy { case (tok, n) => (-n, tok) }.take(5).map(_._1)
+        val cmsRows = srcDocs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (src, g) =>
+          val cms = graft.core.CountMin.create(
+            graft.core.CountMin.DefaultDepth, graft.core.CountMin.DefaultWidth)
+          g.foreach { case (_, _, txt) =>
+            docToks(txt).foreach(t => graft.core.CountMin.add(cms, Hashing.hashString(t)))
+          }
+          top5.sorted.map(tok =>
+            (src, tok, graft.core.CountMin.estimate(cms, Hashing.hashString(tok))))
+        }
+        write(cmsRows.toDF("source", "token", "est_n"), "expected_cms")
+      }
+
+      // DDSketch replica: per-lang log-bucket histogram over n_chars,
+      // built sequentially (elementwise-add merge ⇒ partition-independent
+      // buckets; quantile estimates are StrictMath doubles shared with
+      // the kernel, so equality is exact — no rounding in the contract)
+      locally {
+        val langChars: Seq[(String, Long)] = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("lang"), col("n_chars").cast("long"))
+          .as[(String, Long)].collect().toSeq
+        val alpha = graft.core.DdHist.DefaultAlpha
+        val ddRows = langChars.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, g) =>
+          val h = graft.core.DdHist.create(alpha)
+          g.foreach { case (_, v) => graft.core.DdHist.add(h, alpha, v) }
+          def q(p: Double) = graft.core.DdHist.quantile(h, alpha, p)
+          (lang, q(0.25), q(0.5), q(0.75), q(0.95))
+        }
+        write(ddRows.toDF("lang", "est_p25", "est_p50", "est_p75", "est_p95"),
+          "expected_ddsketch")
+      }
     }
 
     // shuffle-shard replica: the bijective hash draw per id, sequentially

@@ -514,6 +514,72 @@ object SparkEntry {
           count_distinct(col("token")).as("exact_distinct"))
         .orderBy("source")
     }),
+    "q_docs_decontaminate_bloom" -> ((s, dir) => {
+      // bloom-prefiltered decontamination: the benchmark's shingles
+      // aggregate into ONE fixed-size Bloom filter (16 KiB here — size
+      // does not grow with the benchmark) that probes every training
+      // shingle as a codegen'd scan filter; only bloom survivors reach
+      // the exact-verify semi-join. Definite-absence + re-verification
+      // makes the result EXACTLY the plain q_docs_decontaminate — the
+      // two queries share one oracle, which is the point: the sketch
+      // path is provably lossless while shuffling ~1% of the corpus
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bench = docs.filter(col("doc_id") % 193 === 0)
+      val contaminated = graft.ops.Decontaminate.contaminatedIdsBloom(
+        docs, bench, "text", "doc_id", w = 3, mBits = 1 << 17, k = 5)
+      docs.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_docs_cms_counts" -> ((s, dir) => {
+      // Count-Min frequency sketch: one 80 KiB sketch per source (5×2048
+      // long counters) absorbs every token map-side — the 100 TB shape
+      // for "how often does X occur per shard" where an exact
+      // (source, token) groupBy would shuffle the whole vocabulary.
+      // Probes: the 5 globally most-frequent tokens (exact, tie-broken),
+      // with exact per-source counts riding along so the over-count
+      // error is in the record. The fixture replays the same kernel
+      // sequentially — equality proves the elementwise-add merge is
+      // partition-independent.
+      val tokens = s.read.parquet(t(dir, "documents"))
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val top5 = tokens.groupBy("token").agg(count(lit(1)).as("gn"))
+        .orderBy(col("gn").desc, col("token").asc).limit(5).select("token")
+      val sketches = tokens.groupBy("source")
+        .agg(graft.functions.CmsBuild.cms_build(col("token")).as("cms"))
+      val exact = tokens.join(broadcast(top5), Seq("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("exact_n"))
+      sketches.crossJoin(broadcast(top5))
+        .select(col("source"), col("token"),
+          graft.functions.CmsEstimate.cms_estimate(
+            col("cms"), graft.functions.Hash64.hash64(col("token"))).as("est_n"))
+        .join(exact, Seq("source", "token"), "left")
+        .select(col("source"), col("token"), col("est_n"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .orderBy("source", "token")
+    }),
+    "q_docs_length_sketch" -> ((s, dir) => {
+      // DDSketch-style mergeable quantiles: per-lang length percentiles
+      // from a fixed log-bucket histogram (elementwise-add merge, values
+      // never shuffle) — the scale path where exact `percentile` must
+      // materialize every value per group. Estimates are raw kernel
+      // doubles (StrictMath — bit-reproducible), so the fixture replica
+      // matches exactly; exact p50 rides along to bound the alpha=1%
+      // relative error in the record.
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.groupBy("lang")
+        .agg(graft.functions.DdQuantiles.dd_quantiles(
+          col("n_chars"), Seq(0.25, 0.5, 0.75, 0.95)).as("est"),
+          expr("round(percentile(n_chars, 0.5), 4)").as("exact_p50"))
+        .select(col("lang"),
+          element_at(col("est"), 1).as("est_p25"),
+          element_at(col("est"), 2).as("est_p50"),
+          element_at(col("est"), 3).as("est_p75"),
+          element_at(col("est"), 4).as("est_p95"),
+          col("exact_p50"))
+        .orderBy("lang")
+    }),
 
     // ---------------------------------------------------------------- dedup / similarity / multimodal (rows-only)
     "dedup_exact_groups" -> ((s, dir) => {
@@ -884,7 +950,13 @@ object SparkEntry {
        |  LEFT JOIN cnt c USING (from_label, to_label)
        |  JOIN tot t ON p.from_label = t.from_label)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the bloom-prefiltered decontamination is provably lossless (bloom
+    // false = definite absence; every true is re-verified exactly), so it
+    // shares the plain path's oracle verbatim — THAT equality is the claim
+    ("q_docs_decontaminate_bloom" -> oracleSqlBase("q_docs_decontaminate"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -1408,6 +1480,30 @@ object SparkEntry {
          |SELECT e.source, h.est_distinct, e.exact_distinct
          |FROM ex e JOIN ${fx("expected_hll")} h USING (source)
          |ORDER BY e.source""".stripMargin,
+    "q_docs_cms_counts" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+         |  FROM documents),
+         |t2 AS (SELECT source, token FROM tk WHERE token <> ''),
+         |top5 AS (SELECT token FROM (
+         |  SELECT token, count(*) AS gn FROM t2 GROUP BY token
+         |  ORDER BY gn DESC, token ASC LIMIT 5)),
+         |ex AS (SELECT source, token, CAST(count(*) AS BIGINT) AS exact_n
+         |       FROM t2 JOIN top5 USING (token) GROUP BY source, token),
+         |srcs AS (SELECT DISTINCT source FROM t2)
+         |SELECT s.source, t.token, c.est_n,
+         |  CAST(coalesce(e.exact_n, 0) AS BIGINT) AS exact_n
+         |FROM srcs s CROSS JOIN top5 t
+         |JOIN ${fx("expected_cms")} c ON c.source = s.source AND c.token = t.token
+         |LEFT JOIN ex e ON e.source = s.source AND e.token = t.token
+         |ORDER BY s.source, t.token""".stripMargin,
+    "q_docs_length_sketch" ->
+      s"""SELECT d.lang, d.est_p25, d.est_p50, d.est_p75, d.est_p95,
+         |  round(quantile_cont(doc.n_chars, 0.5), 4) AS exact_p50
+         |FROM documents doc
+         |JOIN ${fx("expected_ddsketch")} d ON d.lang = doc.lang
+         |GROUP BY d.lang, d.est_p25, d.est_p50, d.est_p75, d.est_p95
+         |ORDER BY d.lang""".stripMargin,
     "q_docs_length_quantiles" ->
       """SELECT lang,
         |  round(quantile_cont(n_chars, 0.25), 4) AS p25,

@@ -88,5 +88,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         agg.toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hash64"),
+      new ExpressionInfo(
+        classOf[Hash64].getName, null, "hash64",
+        "_FUNC_(s) - the library's deterministic 64-bit string hash", ""),
+      (exprs: Seq[Expression]) => Hash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[BloomBuild].getName, null, "bloom_build",
+        "_FUNC_(x, mBits, k) - mergeable Bloom filter over a column (mBits, k integer literals)", ""),
+      (exprs: Seq[Expression]) => SketchFunctions.bloomFromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomMightContain].getName, null, "bloom_might_contain",
+        "_FUNC_(bloom, hash) - Bloom membership probe; false is definite absence", ""),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cms_build"),
+      new ExpressionInfo(
+        classOf[CmsBuild].getName, null, "cms_build",
+        "_FUNC_(x[, depth, width]) - mergeable Count-Min frequency sketch", ""),
+      (exprs: Seq[Expression]) => SketchFunctions.cmsFromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(
+        classOf[CmsEstimate].getName, null, "cms_estimate",
+        "_FUNC_(cms, hash) - Count-Min frequency estimate (never under-counts)", ""),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dd_quantiles"),
+      new ExpressionInfo(
+        classOf[DdQuantiles].getName, null, "dd_quantiles",
+        "_FUNC_(x, qs[, alpha]) - DDSketch-style mergeable quantile estimates (array<double>)", ""),
+      (exprs: Seq[Expression]) => SketchFunctions.ddFromExprs(exprs)))
   }
 }

@@ -36,15 +36,8 @@ case class HllDistinct(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) Hll.add(buf, hashValue(v))
+    if (v != null) Hll.add(buf, AggHash.of(v))
     buf
-  }
-
-  private def hashValue(v: Any): Long = v match {
-    case s: UTF8String => Hashing.hashString(s.toString)
-    case l: Long       => Hashing.mix64(l)
-    case i: Int        => Hashing.mix64(i.toLong)
-    case other         => Hashing.hashString(other.toString)
   }
 
   override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {

@@ -54,5 +54,6 @@ object Registry {
     Fingerprint64.register(spark)
     LanguageId.register(spark)
     HllDistinct.register(spark)
+    SketchFunctions.register(spark)
   }
 }

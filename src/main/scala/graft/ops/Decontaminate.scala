@@ -47,4 +47,47 @@ object Decontaminate {
       idCol: String,
       w: Int = 3): DataFrame =
     train.join(contaminatedIds(train, bench, textCol, idCol, w), Seq(idCol), "left_anti")
+
+  /** Bloom-prefiltered [[contaminatedIds]] — same result, different scale
+    * regime: when the benchmark suite is too large for its exact distinct
+    * shingle set to broadcast (a few hundred MB of 8-byte hashes is the
+    * practical ceiling), a FIXED-size Bloom filter (`mBits` bits,
+    * regardless of benchmark size) is aggregated over the bench shingles,
+    * collected once (bounded: `mBits/8` bytes — the same discipline as
+    * the IVF codebook), and probes every train shingle as a codegen'd
+    * scan-side filter. Only the ~fpp false-positive fraction plus the
+    * true hits survive to the exact-verify equi-join, which therefore
+    * shuffles a sliver of the corpus instead of all of it — while the
+    * bench side's exact set never needs to fit on one executor. Because
+    * Bloom "false" is definite absence and the verify join re-checks
+    * every "true", the output is EXACTLY `contaminatedIds` — the oracle
+    * for one is the oracle for the other.
+    *
+    * This is the engine-level form of the runtime bloom-filter join
+    * pruning Spark itself applies to shuffle joins
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), made explicit
+    * so it can cross the aggregate/scan boundary of the shingle explode.
+    */
+  def contaminatedIdsBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 3,
+      mBits: Int = 1 << 23,
+      k: Int = 7): DataFrame = {
+    import graft.functions.{BloomBuild, BloomMightContain, Mix64}
+    val benchSh = shingleSet(bench, textCol, idCol, w).select("shingle").distinct()
+    // BloomBuild hashes its input VALUES via AggHash (mix64 for longs);
+    // the probe side passes the equivalent hash explicitly — raw shingle
+    // in, mix64(shingle) probed.
+    val bloom = benchSh
+      .agg(BloomBuild.bloom_build(col("shingle"), mBits, k).as("bloom"))
+      .head.getAs[Array[Byte]](0)
+    shingleSet(train, textCol, idCol, w)
+      .filter(BloomMightContain.bloom_might_contain(lit(bloom), Mix64.mix64(col("shingle"))))
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .select(col("doc_id").as(idCol))
+      .distinct()
+  }
 }
