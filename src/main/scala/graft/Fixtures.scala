@@ -101,6 +101,50 @@ object Fixtures {
     }
     write(DocsGen.vocabEntries.toDF("surface", "entity_type"), "vocab")
 
+    // ---------------------------- negative sampling (local sequential)
+    // positives re-derived from gold mentions + the SQL lexicon's concept
+    // assignment (row_number over (entity_type, surface), C%07d — same
+    // total order as Lexicon.fromSurfaces), then the same draw kernel.
+    // Distributed machinery under test: the broadcast candidate join, the
+    // bounded explode, the codegen'd hash draw, and the anti-join filter
+    // — all must equal this naive loop under any partitioning.
+    locally {
+      val conceptOf: Map[(String, String), String] = DocsGen.vocabEntries
+        .sortBy { case (surf, tpe) => (tpe, surf) }.zipWithIndex
+        .map { case ((surf, tpe), i) => (surf, tpe) -> f"C${i + 1}%07d" }.toMap
+      val rules = Seq(
+        ("Diseases", "Drug", "treated_by"), ("Diseases", "Laboratory", "has_finding"),
+        ("Diseases", "Anatomical", "located_in"), ("Diseases", "Image", "diagnosed_by"),
+        ("Diseases", "Operation", "treated_with"))
+      val docConcepts: Map[String, Seq[(String, String)]] = gold.flatMap(_.mentions)
+        .filter(_.doc_id < SparkEntry.NegativesDocCap) // training-split scope
+        .map(m => (m.doc_id, m.entity_type, conceptOf((m.text, m.entity_type))))
+        .distinct
+        .groupBy(_._1)
+        .map { case (d, xs) => d -> xs.map(x => (x._2, x._3)) }
+      val positives: Seq[(String, String, String, String)] = docConcepts.values.flatMap { ms =>
+        for {
+          (st, sc) <- ms; (ot, oc) <- ms
+          (rs, ro, pred) <- rules if st == rs && ot == ro
+        } yield (sc, pred, oc, ot)
+      }.toSeq.distinct
+      val candsByType: Map[String, IndexedSeq[String]] = DocsGen.vocabEntries
+        .map { case (surf, tpe) => tpe -> conceptOf((surf, tpe)) }
+        .distinct
+        .groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toIndexedSeq }
+      val posSet = positives.map(p => (p._1, p._2, p._3)).toSet
+      val negRows = positives.flatMap { case (s, p, o, ot) =>
+        val cands = candsByType(ot)
+        (0 until SparkEntry.NegativesK).flatMap { j =>
+          val neg = cands(graft.graph.NegativeSampling.drawIndex(
+            SparkEntry.NegativesSeed, s, p, o, j, cands.size))
+          if (neg != o && !posSet((s, p, neg))) Some((s, p, o, neg, j)) else None
+        }
+      }
+      write(negRows.toDF("subj", "pred", "obj", "neg_obj", "attempt"), "expected_negatives")
+    }
+
     // ------------------------------------- augmentation (local sequential)
     // replicates augmentCorpus: originals ∪ (70%-gated augmentOne rows) —
     // the Spark op must produce the same multiset regardless of partitioning

@@ -37,6 +37,12 @@ object SparkEntry {
   private[graft] val WeightedK: Int = 200
   private[graft] val WeightedSeed: Long = 0xE512L
 
+  /** kg_negatives' corruption draw — shared with the Fixtures replica. */
+  private[graft] val NegativesK: Int = 2
+  private[graft] val NegativesSeed: Long = 0x4E6A71L
+  /** kg_negatives' training-split scope (exclusive doc_id upper bound). */
+  private[graft] val NegativesDocCap: String = "doc-0000000025"
+
   /** Oracle fixture table (staged by [[Fixtures.stage]]; `{OUT}` is
     * substituted with the verify outDir when `oracle_sql.json` is written).
     */
@@ -145,6 +151,51 @@ object SparkEntry {
       val (_, docs) = goldAndDocs(s, dir)
       val triples = KgPipeline.run(docs, lexicon(s)).toDF()
       graft.graph.GraphOps.degrees(triples).orderBy("node")
+    }),
+    "kg_pagerank" -> ((s, dir) => {
+      // fixed-iteration damped power method over the constructed KG —
+      // checked against an UNROLLED-iteration SQL replica (same damped
+      // formulation, same dangling-mass simplification; distributed sums
+      // reorder at ~1e-16, absorbed by the 1e-6 rounding both sides)
+      val (_, docs) = goldAndDocs(s, dir)
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+      graft.graph.GraphOps.pagerank(
+        triples.select(col("subj").as("src"), col("obj").as("dst")), iters = 5)
+        .withColumn("rank", round(col("rank"), 6))
+        .orderBy("node")
+    }),
+    "kg_triangles" -> ((s, dir) => {
+      // per-node triangle counts of the concept CO-OCCURRENCE graph
+      // (concepts sharing a doc; the triples graph itself is
+      // disease→other bipartite, hence triangle-free). Degree-orientation
+      // formulation — wedge fan-out bounded by degeneracy, not hub degree
+      val (_, docs) = goldAndDocs(s, dir)
+      val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+      val linked = Linker.link(mentions, lexicon(s)).toDF()
+      val perDoc = linked.select(col("doc_id"), col("concept_id")).distinct()
+      val edges = perDoc.as("a")
+        .join(perDoc.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
+        .select(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
+      graft.graph.GraphOps.triangleCounts(edges, "src", "dst").orderBy("node")
+    }),
+    "kg_negatives" -> ((s, dir) => {
+      // type-constrained negative sampling for KG-embedding training:
+      // ≤k corrupted objects per positive triple, same-type candidates,
+      // true triples filtered (anti-join); the draw is a pure function
+      // of (seed, triple, attempt) — partition-independent, replicated
+      // sequentially by the fixture oracle. Positives are scoped to a
+      // sparse doc subset (the "training split"): over the full synthetic
+      // corpus every (disease, object) pair occurs somewhere, so the
+      // unscoped concept graph is complete and filtered corruption would
+      // be vacuously empty — the scoped graph leaves real negatives.
+      val (_, docs) = goldAndDocs(s, dir)
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+        .filter(col("doc_id") < lit(NegativesDocCap))
+      graft.graph.NegativeSampling.corruptObjects(
+        triples, lexicon(s).toDF().select("concept_id", "entity_type"),
+        k = NegativesK, seed = NegativesSeed)
+        .orderBy("subj", "pred", "obj", "attempt")
     }),
     "kg_span_metrics" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
@@ -1235,6 +1286,60 @@ object SparkEntry {
          |SELECT node, CAST(sum(out_e) AS BIGINT) AS out_degree,
          |  CAST(sum(in_e) AS BIGINT) AS in_degree, count(*) AS degree
          |FROM d GROUP BY node ORDER BY node""".stripMargin,
+    // PageRank replica: the same damped power method with the iterations
+    // UNROLLED as CTEs (generated below — DuckDB recursive CTEs cannot
+    // aggregate in the recursive term). Float literals are CAST AS DOUBLE
+    // so both engines execute the identical IEEE op sequence; only the
+    // in-edge summation order differs (~1e-16), absorbed by round(…, 6).
+    "kg_pagerank" -> {
+      val iters = 5
+      val base =
+        s"""WITH $lexCte,
+           |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
+           |      FROM ${fx("gold_mentions")} g
+           |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+           |r(st, ot, pred) AS (VALUES
+           |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
+           |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
+           |  ('Diseases','Operation','treated_with')),
+           |t AS (SELECT DISTINCT a.concept_id AS src, b.concept_id AS dst
+           |      FROM m a JOIN m b ON a.doc_id = b.doc_id
+           |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
+           |nodes AS (SELECT src AS node FROM t UNION SELECT dst FROM t),
+           |od AS (SELECT src AS node, count(*) AS od FROM t GROUP BY src),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""pr$i AS (
+           |  SELECT nd.node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           |      + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT t.dst AS node, sum(p.rank / od.od) AS s
+           |    FROM t JOIN od ON t.src = od.node JOIN pr${i - 1} p ON t.src = p.node
+           |    GROUP BY t.dst) s ON nd.node = s.node)""".stripMargin
+      }
+      (base +: steps).mkString(",\n") +
+        s"\nSELECT node, round(rank, 6) AS rank FROM pr$iters ORDER BY node"
+    },
+    // triangle replica: canonical (lo<hi) co-occurrence edges, triangles
+    // enumerated once each as a<b<c via three equi-joins, per-node rollup
+    "kg_triangles" ->
+      s"""WITH $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id, l.concept_id
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |e AS (SELECT DISTINCT a.concept_id AS lo, b.concept_id AS hi
+         |      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.concept_id < b.concept_id),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+         |        JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |x AS (SELECT a AS node FROM tri
+         |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT node, count(*) AS triangles FROM x GROUP BY node ORDER BY node""".stripMargin,
+    "kg_negatives" ->
+      s"""SELECT subj, pred, obj, neg_obj, attempt FROM ${fx("expected_negatives")}
+         |ORDER BY subj, pred, obj, attempt""".stripMargin,
     "kg_span_metrics" ->
       s"""WITH c AS (
          |  SELECT entity_type, count(*) AS n FROM (

@@ -84,6 +84,63 @@ object GraphOps {
     ranks
   }
 
+  /** Per-node triangle counts over the UNDIRECTED simple graph induced
+    * by the edge table (self-loops dropped; parallel and reverse
+    * duplicates collapse into one undirected edge). Only nodes in at
+    * least one triangle appear.
+    *
+    * Degree-orientation formulation — the standard scalable shape: every
+    * edge is oriented from its lower endpoint under the total order
+    * (degree, node), and wedges are generated ONLY at an edge's lower
+    * endpoint. Wedge fan-out is then bounded by the graph's degeneracy
+    * (sum of min-endpoint-degree² across edges), not by max degree — a
+    * celebrity hub with degree d contributes nothing quadratic because
+    * its incident edges all point INTO it. Each triangle {x,y,z} with
+    * x ≺ y ≺ z is found exactly once, as wedge (x→y, x→z) closed by the
+    * canonical edge (min-id, max-id) of {y,z}.
+    *
+    * Plan shape: canonical dedup (one shuffle), two equi-joins (wedge
+    * self-join on the low endpoint, closing-edge lookup against the
+    * canonical edge set), and a partial-aggregated groupBy for the
+    * per-node rollup. No cartesian, no window.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val deg = und.select(col("lo").as("node"))
+      .union(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from the lower endpoint under (degree, id); ties by id keep
+    // the order total, so every edge gets exactly one direction
+    val oriented = und
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
+          .otherwise(col("hi")).as("src"),
+        when(col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
+          .otherwise(col("lo")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val triangles = wedges
+      .join(und, col("b") === col("lo") && col("c") === col("hi"))
+      .select("a", "b", "c")
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
   /** k-hop BFS levels from seed nodes over the UNDIRECTED view of the
     * edge table: (node, hops) with hops = the node's BFS level (minimum
     * edge count from any seed), hops ≤ k. Each round joins the SMALL

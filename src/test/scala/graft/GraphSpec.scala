@@ -71,4 +71,108 @@ class GraphSpec extends AnyFunSuite {
     val vals = pr.collect().map(_.getDouble(1))
     assert(math.abs(vals.max - vals.min) < 1e-12)
   }
+
+  /** Brute-force local triangle reference: per-node count over the
+    * canonical undirected simple graph.
+    */
+  private def localTriangles(es: Seq[(String, String)]): Map[String, Long] = {
+    val und = es.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a)
+    }.distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if und((a, b)) && und((a, c)) && und((b, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts on K4: every node sits in C(3,2)=3 triangles") {
+    import spark.implicits._
+    val vs = Seq("a", "b", "c", "d")
+    val es = for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j))
+    val got = GraphOps.triangleCounts(edgesDf(es), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == vs.map(_ -> 3L).toMap)
+  }
+
+  test("triangleCounts ignores self-loops, reverse edges, and parallel duplicates") {
+    import spark.implicits._
+    val es = Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"), // one undirected edge
+      ("b", "c"), ("c", "a"),
+      ("a", "a"), // self-loop
+      ("c", "d")) // dangling edge, no triangle
+    val got = GraphOps.triangleCounts(edgesDf(es), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCounts matches a brute-force reference on a random graph with a hub") {
+    import spark.implicits._
+    // seeded pseudo-random graph + a celebrity hub connected to everyone:
+    // the degree-orientation must still count exactly (hub edges all
+    // orient INTO the hub, so the hub generates no quadratic wedge set)
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val base = for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.12
+    } yield (s"v$i", s"v$j")
+    val hub = (0 until n).map(i => (s"v$i", "hub"))
+    val es = rnd.shuffle(base ++ hub).map { case (a, b) =>
+      if (rnd.nextBoolean()) (a, b) else (b, a) // random orientation noise
+    }
+    val got = GraphOps.triangleCounts(edgesDf(es), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == localTriangles(es))
+  }
+
+  test("negative sampling: type-constrained, true-triple-free, partition-independent") {
+    import spark.implicits._
+    val triples = Seq(
+      ("d1", "treated_by", "x1", "Drug"), ("d1", "treated_by", "x2", "Drug"),
+      ("d2", "treated_by", "x1", "Drug"), ("d1", "has_finding", "l1", "Laboratory"),
+      ("d3", "located_in", "a1", "Anatomical"))
+      .toDF("subj", "pred", "obj", "obj_type")
+    val concepts = Seq(
+      ("x1", "Drug"), ("x2", "Drug"), ("x3", "Drug"), ("x4", "Drug"),
+      ("l1", "Laboratory"), ("l2", "Laboratory"),
+      ("a1", "Anatomical"), ("a2", "Anatomical"), ("a3", "Anatomical"))
+      .toDF("concept_id", "entity_type")
+    val out = graft.graph.NegativeSampling.corruptObjects(triples, concepts, k = 3, seed = 99L)
+      .as[(String, String, String, String, Int)].collect().toSeq.sorted
+    assert(out.nonEmpty)
+    val typeOf = Map("x1" -> "Drug", "x2" -> "Drug", "x3" -> "Drug", "x4" -> "Drug",
+      "l1" -> "Laboratory", "l2" -> "Laboratory",
+      "a1" -> "Anatomical", "a2" -> "Anatomical", "a3" -> "Anatomical")
+    val pos = Set(("d1", "treated_by", "x1"), ("d1", "treated_by", "x2"),
+      ("d2", "treated_by", "x1"), ("d1", "has_finding", "l1"), ("d3", "located_in", "a1"))
+    out.foreach { case (s, p, o, neg, j) =>
+      assert(typeOf(neg) == typeOf(o), s"cross-type corruption: $o -> $neg")
+      assert(neg != o)
+      assert(!pos((s, p, neg)), s"corruption is a true triple: ($s,$p,$neg)")
+      assert(j >= 0 && j < 3)
+    }
+    // sequential replica agreement (the fixture-oracle contract)
+    val candsByType = typeOf.toSeq.groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._1).sorted.toIndexedSeq }
+    val expect = Seq(
+      ("d1", "treated_by", "x1", "Drug"), ("d1", "treated_by", "x2", "Drug"),
+      ("d2", "treated_by", "x1", "Drug"), ("d1", "has_finding", "l1", "Laboratory"),
+      ("d3", "located_in", "a1", "Anatomical")).flatMap { case (s, p, o, ot) =>
+      val cands = candsByType(ot)
+      (0 until 3).flatMap { j =>
+        val neg = cands(graft.graph.NegativeSampling.drawIndex(99L, s, p, o, j, cands.size))
+        if (neg != o && !pos((s, p, neg))) Some((s, p, o, neg, j)) else None
+      }
+    }.sorted
+    assert(out == expect)
+    // partition independence: a repartitioned input draws the same sample
+    val re = graft.graph.NegativeSampling.corruptObjects(
+      triples.repartition(7), concepts, k = 3, seed = 99L)
+      .as[(String, String, String, String, Int)].collect().toSeq.sorted
+    assert(re == out)
+  }
 }

@@ -178,6 +178,23 @@ class PlanSpec extends AnyFunSuite {
     cleanup()
   }
 
+  test("triangle counting: equi-joins only (no cartesian), no window, partial-agg rollup") {
+    val p = plan(SparkEntry.queries("kg_triangles")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration degenerated to an all-pairs join")
+    assert(!p.contains("Window"), "triangle rollup uses a window")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "per-node rollup lacks map-side combine")
+  }
+
+  test("negative sampling broadcasts the candidate vocabulary; draw is native (no UDF)") {
+    val p = plan(SparkEntry.queries("kg_negatives")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "candidate join is not broadcast")
+    assert(!p.contains("ScalaUDF"), "negative-sampling draw plans a Scala UDF")
+    assert(p.contains("mix64") && p.contains("hash64"),
+      "draw not planned via the native hash expressions")
+  }
+
   test("headline aggregation runs inside whole-stage codegen") {
     // AQE wraps the plan; the codegen explain mode shows the compiled spans
     val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)
