@@ -57,6 +57,19 @@ object SparkEntry {
        |    'C' || lpad(CAST(row_number() OVER (ORDER BY entity_type, surface) AS VARCHAR), 7, '0') AS concept_id
        |  FROM ${fx("vocab")})""".stripMargin
 
+  /** Bi-directed concept co-occurrence edge set (`bi`) re-derived from
+    * gold fixtures — shared by the community / node-similarity oracles
+    * (the `a <> b` join emits both directions, so `bi` equals the Spark
+    * side's canonical-pairs ∪ reversed-pairs construction).
+    */
+  private val coocCtes =
+    s"""$lexCte,
+       |m AS (SELECT DISTINCT g.doc_id, l.concept_id
+       |      FROM ${fx("gold_mentions")} g
+       |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+       |bi AS (SELECT DISTINCT a.concept_id AS src, b.concept_id AS dst
+       |       FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.concept_id <> b.concept_id)""".stripMargin
+
   private def synthDocs(dir: String): Long = Fixtures.synthDocs(dir)
 
   private def goldAndDocs(spark: SparkSession, dir: String) = {
@@ -89,6 +102,22 @@ object SparkEntry {
     }
     rows.toDF("from_label", "to_label", "n", "logp")
       .withColumn("logp", round(col("logp"), 6))
+  }
+
+  /** Concept co-occurrence edges (canonical lo<hi pairs) over the linked
+    * mentions — shared by the triangle / community / node-similarity
+    * queries. Pair generation is per-doc (bounded by doc length), same
+    * scale argument as triple assembly.
+    */
+  private def coocEdges(s: SparkSession, dir: String): DataFrame = {
+    val (_, docs) = goldAndDocs(s, dir)
+    val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
+    val linked = Linker.link(mentions, lexicon(s)).toDF()
+    val perDoc = linked.select(col("doc_id"), col("concept_id")).distinct()
+    perDoc.as("a")
+      .join(perDoc.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
+      .select(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -169,15 +198,31 @@ object SparkEntry {
       // (concepts sharing a doc; the triples graph itself is
       // disease→other bipartite, hence triangle-free). Degree-orientation
       // formulation — wedge fan-out bounded by degeneracy, not hub degree
+      graft.graph.GraphOps.triangleCounts(coocEdges(s, dir), "src", "dst").orderBy("node")
+    }),
+    "kg_communities" -> ((s, dir) => {
+      // deterministic synchronous label propagation (3 rounds) over the
+      // co-occurrence graph — integer-only relational argmax (count →
+      // max → min-label tie-break), so the unrolled SQL replica matches
+      // exactly with no float tolerance at all
+      graft.graph.GraphOps.labelPropagation(coocEdges(s, dir), iters = 3, "src", "dst")
+        .orderBy("node")
+    }),
+    "kg_node_similarity" -> ((s, dir) => {
+      // neighborhood Jaccard (link-prediction baseline): pairs sharing a
+      // neighbor, generated per shared neighbor under the maxDegree hub
+      // cap (replicated verbatim in the oracle, so the compare is exact)
+      graft.graph.GraphOps.neighborJaccard(
+        coocEdges(s, dir), minSim = 0.5, maxDegree = 1000L, "src", "dst")
+        .orderBy("a", "b")
+    }),
+    "kg_embedding_export" -> ((s, dir) => {
+      // int-indexed training export (TransE-toolkit layout): dense ids
+      // by sorted vocab order; the data-sized triple table is re-coded
+      // through broadcast joins only
       val (_, docs) = goldAndDocs(s, dir)
-      val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
-      val linked = Linker.link(mentions, lexicon(s)).toDF()
-      val perDoc = linked.select(col("doc_id"), col("concept_id")).distinct()
-      val edges = perDoc.as("a")
-        .join(perDoc.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
-        .select(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
-      graft.graph.GraphOps.triangleCounts(edges, "src", "dst").orderBy("node")
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+      graft.graph.KgExport.embeddingExport(triples).orderBy("h", "r", "t")
     }),
     "kg_negatives" -> ((s, dir) => {
       // type-constrained negative sampling for KG-embedding training:
@@ -1340,6 +1385,65 @@ object SparkEntry {
     "kg_negatives" ->
       s"""SELECT subj, pred, obj, neg_obj, attempt FROM ${fx("expected_negatives")}
          |ORDER BY subj, pred, obj, attempt""".stripMargin,
+    // LPA replica: integer-only relational argmax per round, unrolled —
+    // count neighbor labels → per-node max count → MIN label at the max
+    "kg_communities" -> {
+      val base =
+        s"""WITH $coocCtes,
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.src AS node, l.label, count(*) AS c
+           |        FROM bi e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+           |mx$i AS (SELECT node, max(c) AS mc FROM c$i GROUP BY node),
+           |l$i AS (SELECT c.node, min(c.label) AS label
+           |        FROM c$i c JOIN mx$i ON c.node = mx$i.node AND c.c = mx$i.mc
+           |        GROUP BY c.node)""".stripMargin
+      }
+      (base +: steps).mkString(",\n") +
+        "\nSELECT node, label AS community FROM l3 ORDER BY node"
+    },
+    // neighborhood-Jaccard replica: generator rows capped at the same
+    // maxDegree, co-neighbor pairs per shared neighbor, one double
+    // division each side (identical IEEE op), round 6
+    "kg_node_similarity" ->
+      s"""WITH $coocCtes,
+         |deg AS (SELECT src AS node, count(*) AS deg FROM bi GROUP BY src),
+         |gen AS (SELECT b.dst AS w, b.src AS v
+         |        FROM bi b JOIN deg d ON b.dst = d.node WHERE d.deg <= 1000),
+         |i AS (SELECT x.v AS a, y.v AS b, count(*) AS "inter"
+         |      FROM gen x JOIN gen y ON x.w = y.w AND x.v < y.v GROUP BY 1, 2),
+         |j AS (SELECT i.a, i.b, i."inter",
+         |        round(CAST(i."inter" AS DOUBLE) /
+         |              CAST(da.deg + db.deg - i."inter" AS DOUBLE), 6) AS jaccard
+         |      FROM i JOIN deg da ON i.a = da.node JOIN deg db ON i.b = db.node)
+         |SELECT a, b, "inter", jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    // export replica: dense ids by sorted vocab order (row_number over
+    // the vocabulary-bounded distinct sets), triples re-coded by joins
+    "kg_embedding_export" ->
+      s"""WITH $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |rr(st, ot, pred) AS (VALUES
+         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
+         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
+         |  ('Diseases','Operation','treated_with')),
+         |tr AS (SELECT DISTINCT a.concept_id AS subj, rr.pred, b.concept_id AS obj
+         |       FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |       JOIN rr ON a.entity_type = rr.st AND b.entity_type = rr.ot),
+         |ents AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr),
+         |ev AS (SELECT entity,
+         |         CAST(row_number() OVER (ORDER BY entity) - 1 AS INTEGER) AS ent_id
+         |       FROM ents),
+         |rv AS (SELECT pred,
+         |         CAST(row_number() OVER (ORDER BY pred) - 1 AS INTEGER) AS rel_id
+         |       FROM (SELECT DISTINCT pred FROM tr))
+         |SELECT eh.ent_id AS h, rv.rel_id AS r, et.ent_id AS t
+         |FROM tr JOIN ev eh ON tr.subj = eh.entity
+         |JOIN rv ON tr.pred = rv.pred
+         |JOIN ev et ON tr.obj = et.entity
+         |ORDER BY h, r, t""".stripMargin,
     "kg_span_metrics" ->
       s"""WITH c AS (
          |  SELECT entity_type, count(*) AS n FROM (

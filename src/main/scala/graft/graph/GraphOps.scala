@@ -141,6 +141,97 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Synchronous label propagation (community detection) over the
+    * undirected simple graph, fully deterministic: every node starts
+    * labeled with itself; each round it adopts the most frequent label
+    * among its neighbors, ties broken by MINIMUM label. The argmax is
+    * expressed relationally (count → per-node max → min label at the
+    * max), so there is no RNG and no update-order dependence — the same
+    * input gives the same communities on any partitioning, which is what
+    * lets an unrolled SQL replica oracle it exactly.
+    *
+    * Scale shape: each round is two graph-sized partial-agg groupBys and
+    * one equi-join (the classic LPA-on-relational pattern); lineage is
+    * truncated per round like [[pagerank]], so the plan does not deepen
+    * with iterations. Integer-only arithmetic — no float drift at all.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var labels = bi.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val cnt = bi
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // rename before the cnt⋈agg(cnt) self-join so attributes resolve
+      val mx = cnt.groupBy("node").agg(max(col("c")).as("mc"))
+        .select(col("node").as("mx_node"), col("mc"))
+      labels = cnt
+        .join(mx, col("node") === col("mx_node") && col("c") === col("mc"))
+        .groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    bi.unpersist()
+    labels.withColumnRenamed("label", "community")
+  }
+
+  /** Neighborhood Jaccard similarity — the relational link-prediction /
+    * entity-resolution baseline over the constructed KG: for node pairs
+    * sharing at least one neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|, emitted
+    * for pairs with similarity ≥ `minSim`.
+    *
+    * Co-neighbor pairs are generated per SHARED neighbor (a self-join of
+    * the adjacency list on the neighbor column), so a hub of degree d
+    * would emit d² pairs — the same blow-up the dedup family's hot-bucket
+    * caps guard against. `maxDegree` excludes hubs as pair GENERATORS
+    * (their own rows still appear as endpoints via their other
+    * neighbors); with the cap the shuffle is bounded by
+    * Σ min(deg, maxDegree)² over nodes. The cap is part of the operator
+    * contract and replicated verbatim by the SQL oracle, so the compare
+    * stays exact.
+    */
+  def neighborJaccard(
+      edges: DataFrame,
+      minSim: Double,
+      maxDegree: Long,
+      srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // (neighbor w, endpoint) restricted to generator nodes w under the cap
+    val byNbr = adj.select(col("dst").as("w"), col("src").as("v"))
+      .join(deg.select(col("node").as("w"), col("deg").as("wdeg")), "w")
+      .filter(col("wdeg") <= maxDegree)
+      .select("w", "v")
+    val inter = byNbr.as("x")
+      .join(byNbr.as("y"), col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("deg_a") + col("deg_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minSim)
+      .select("a", "b", "inter", "jaccard")
+  }
+
   /** k-hop BFS levels from seed nodes over the UNDIRECTED view of the
     * edge table: (node, hops) with hops = the node's BFS level (minimum
     * edge count from any seed), hops ≤ k. Each round joins the SMALL

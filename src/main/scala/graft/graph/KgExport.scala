@@ -1,0 +1,48 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export of the materialized KG in the int-indexed layout
+  * KG-embedding trainers (TransE/DistMult-family toolkits) consume:
+  * entity and relation vocabularies mapped to dense contiguous ids by
+  * sorted order, and the triple set re-coded as (h, r, t) int rows.
+  *
+  * Scale shape: both vocabularies are bounded by the ontology, not the
+  * corpus — the id assignment's row_number window runs over the
+  * vocabulary-bounded distinct table only, and the data-sized triple
+  * table is re-coded through three BROADCAST joins (never shuffled for
+  * the export). Id assignment is by sorted node/relation name, so the
+  * coding is deterministic across runs and partitionings and a SQL
+  * replica can re-derive it with the same row_number.
+  */
+object KgExport {
+
+  /** Dense-id entity vocabulary: (entity, ent_id) with ids 0..n-1 by
+    * sorted entity name.
+    */
+  def entityVocab(triples: DataFrame): DataFrame = {
+    val ents = triples.select(col("subj").as("entity"))
+      .union(triples.select(col("obj").as("entity"))).distinct()
+    ents.withColumn("ent_id",
+      (row_number().over(Window.orderBy("entity")) - 1).cast("int"))
+  }
+
+  /** Dense-id relation vocabulary: (relation, rel_id), same scheme. */
+  def relationVocab(triples: DataFrame): DataFrame =
+    triples.select(col("pred").as("relation")).distinct()
+      .withColumn("rel_id",
+        (row_number().over(Window.orderBy("relation")) - 1).cast("int"))
+
+  /** The distinct triple set re-coded as (h, r, t) ints. */
+  def embeddingExport(triples: DataFrame): DataFrame = {
+    val ents = entityVocab(triples)
+    val rels = relationVocab(triples)
+    triples.select("subj", "pred", "obj").distinct()
+      .join(broadcast(ents.select(col("entity").as("subj"), col("ent_id").as("h"))), "subj")
+      .join(broadcast(rels.select(col("relation").as("pred"), col("rel_id").as("r"))), "pred")
+      .join(broadcast(ents.select(col("entity").as("obj"), col("ent_id").as("t"))), "obj")
+      .select("h", "r", "t")
+  }
+}

@@ -129,6 +129,117 @@ class GraphSpec extends AnyFunSuite {
     assert(got == localTriangles(es))
   }
 
+  /** Local replica of the deterministic synchronous LPA rule: adopt the
+    * most frequent neighbor label, ties to the minimum label.
+    */
+  private def localLpa(es: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val bi = es.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val nbrs = bi.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    var labels = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 0 until iters) {
+      labels = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        val mc = counts.values.max
+        v -> counts.collect { case (l, c) if c == mc => l }.min
+      }
+    }
+    labels
+  }
+
+  test("label propagation: two cliques joined by a bridge resolve to two communities") {
+    import spark.implicits._
+    val cliqueA = Seq("a1", "a2", "a3", "a4")
+    val cliqueB = Seq("b1", "b2", "b3", "b4")
+    def clique(vs: Seq[String]) =
+      for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j))
+    val es = clique(cliqueA) ++ clique(cliqueB) :+ (("a1", "b1"))
+    val got = GraphOps.labelPropagation(edgesDf(es), iters = 3, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(got == localLpa(es, 3))
+    // the two cliques carry distinct labels
+    assert(cliqueA.map(got).distinct.size == 1)
+    assert(cliqueB.map(got).distinct.size == 1)
+    assert(got("a2") != got("b2"))
+  }
+
+  test("label propagation matches the local replica on a random graph, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val es = for {
+      i <- 0 until 30; j <- (i + 1) until 30 if rnd.nextDouble() < 0.15
+    } yield (s"v$i", s"v$j")
+    val want = localLpa(es, 4)
+    val got = GraphOps.labelPropagation(edgesDf(es).repartition(13), iters = 4, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(got == want)
+  }
+
+  /** Brute-force neighborhood Jaccard with the same generator cap. */
+  private def localJaccard(
+      es: Seq[(String, String)], minSim: Double, maxDeg: Long): Map[(String, String), (Long, Double)] = {
+    val bi = es.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+    val nbrs = bi.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val deg = nbrs.map { case (v, ns) => v -> ns.size.toLong }
+    val pairs = for {
+      (w, _) <- nbrs.toSeq if deg(w) <= maxDeg
+      vs = nbrs.keys.filter(v => nbrs(v)(w)).toSeq.sorted
+      i <- vs.indices; j <- (i + 1) until vs.size
+    } yield (vs(i), vs(j))
+    pairs.groupBy(identity).flatMap { case ((a, b), xs) =>
+      val inter = xs.size.toLong
+      val jac = BigDecimal(inter.toDouble / (deg(a) + deg(b) - inter).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (jac >= minSim) Some((a, b) -> ((inter, jac))) else None
+    }
+  }
+
+  test("neighborJaccard matches brute force; the hub cap limits pair generators only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = for {
+      i <- 0 until 25; j <- (i + 1) until 25 if rnd.nextDouble() < 0.2
+    } yield (s"v$i", s"v$j")
+    val hub = (0 until 25).map(i => (s"v$i", "hub"))
+    val es = base ++ hub
+    for (cap <- Seq(1000L, 10L)) { // exact, and hub-excluded-as-generator
+      val got = GraphOps.neighborJaccard(edgesDf(es), 0.1, cap, "src", "dst")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got == localJaccard(es, 0.1, cap), s"cap=$cap")
+    }
+    // with the cap below the hub's degree, the hub generates no pairs but
+    // still appears as an endpoint through its low-degree neighbors
+    val capped = GraphOps.neighborJaccard(edgesDf(es), 0.0, 10L, "src", "dst")
+      .as[(String, String, Long, Double)].collect()
+    assert(capped.exists(r => r._1 == "hub" || r._2 == "hub"))
+  }
+
+  test("embedding export: contiguous dense ids, bijective decode back to the triples") {
+    import spark.implicits._
+    val triples = Seq(
+      ("dA", "treated_by", "x1"), ("dA", "treated_by", "x2"),
+      ("dB", "has_finding", "l1"), ("dB", "treated_by", "x1"),
+      ("dA", "has_finding", "l1"), ("dA", "has_finding", "l1")) // dup collapses
+      .toDF("subj", "pred", "obj")
+    val ents = graft.graph.KgExport.entityVocab(triples)
+      .as[(String, Int)].collect().toMap
+    val rels = graft.graph.KgExport.relationVocab(triples)
+      .as[(String, Int)].collect().toMap
+    assert(ents.values.toSeq.sorted == (0 until ents.size))
+    assert(rels.values.toSeq.sorted == (0 until rels.size))
+    // sorted-name order
+    assert(ents.toSeq.sortBy(_._1).map(_._2) == (0 until ents.size))
+    val coded = graft.graph.KgExport.embeddingExport(triples)
+      .as[(Int, Int, Int)].collect().toSet
+    val entOf = ents.map(_.swap); val relOf = rels.map(_.swap)
+    val decoded = coded.map { case (h, r, t) => (entOf(h), relOf(r), entOf(t)) }
+    assert(decoded == Set(
+      ("dA", "treated_by", "x1"), ("dA", "treated_by", "x2"),
+      ("dB", "has_finding", "l1"), ("dB", "treated_by", "x1"),
+      ("dA", "has_finding", "l1")))
+  }
+
   test("negative sampling: type-constrained, true-triple-free, partition-independent") {
     import spark.implicits._
     val triples = Seq(

@@ -187,6 +187,22 @@ class PlanSpec extends AnyFunSuite {
       "per-node rollup lacks map-side combine")
   }
 
+  test("community and node-similarity queries never degenerate to all-pairs joins") {
+    for (name <- Seq("kg_communities", "kg_node_similarity")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join")
+      assert(!p.contains("Window"), s"$name plans a window")
+    }
+  }
+
+  test("embedding export re-codes the triple table through broadcast joins only") {
+    val p = plan(SparkEntry.queries("kg_embedding_export")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "vocab joins are not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a vocabulary join shuffled the data-sized triple table")
+  }
+
   test("negative sampling broadcasts the candidate vocabulary; draw is native (no UDF)") {
     val p = plan(SparkEntry.queries("kg_negatives")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "candidate join is not broadcast")
