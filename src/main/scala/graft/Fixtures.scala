@@ -139,7 +139,8 @@ object Fixtures {
         (0 until SparkEntry.NegativesK).flatMap { j =>
           val neg = cands(graft.graph.NegativeSampling.drawIndex(
             SparkEntry.NegativesSeed, s, p, o, j, cands.size))
-          if (neg != o && !posSet((s, p, neg))) Some((s, p, o, neg, j)) else None
+          // the true-triple filter subsumes neg == o ((s, p, o) ∈ posSet)
+          if (!posSet((s, p, neg))) Some((s, p, o, neg, j)) else None
         }
       }
       write(negRows.toDF("subj", "pred", "obj", "neg_obj", "attempt"), "expected_negatives")

@@ -57,6 +57,22 @@ object SparkEntry {
        |    'C' || lpad(CAST(row_number() OVER (ORDER BY entity_type, surface) AS VARCHAR), 7, '0') AS concept_id
        |  FROM ${fx("vocab")})""".stripMargin
 
+  /** lex + typed per-doc concept mentions (`m`) + the relation-rule
+    * VALUES (`r`) — the common prefix of every triple-derived oracle.
+    * ONE definition keeps the five relation rows in lockstep with
+    * `assemble.Triples` across all oracles; a missed copy would silently
+    * desynchronize an oracle from the Spark side.
+    */
+  private val kgRuleCtes =
+    s"""$lexCte,
+       |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
+       |      FROM ${fx("gold_mentions")} g
+       |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+       |r(st, ot, pred) AS (VALUES
+       |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
+       |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
+       |  ('Diseases','Operation','treated_with'))""".stripMargin
+
   /** Bi-directed concept co-occurrence edge set (`bi`) re-derived from
     * gold fixtures — shared by the community / node-similarity oracles
     * (the `a <> b` join emits both directions, so `bi` equals the Spark
@@ -1301,28 +1317,14 @@ object SparkEntry {
          |  SELECT 'S:' || text AS node, concept_id AS component FROM surf)
          |SELECT node, component FROM nodes ORDER BY node""".stripMargin,
     "kg_triples" ->
-      s"""WITH $lexCte,
-         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
-         |      FROM ${fx("gold_mentions")} g
-         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
-         |r(st, ot, pred) AS (VALUES
-         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
-         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
-         |  ('Diseases','Operation','treated_with'))
+      s"""WITH $kgRuleCtes
          |SELECT a.concept_id AS subj, r.pred, b.concept_id AS obj, a.doc_id AS doc_id,
          |       a.entity_type AS subj_type, b.entity_type AS obj_type
          |FROM m a JOIN m b ON a.doc_id = b.doc_id
          |JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot
          |ORDER BY 1, 2, 3, 4""".stripMargin,
     "kg_degree" ->
-      s"""WITH $lexCte,
-         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
-         |      FROM ${fx("gold_mentions")} g
-         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
-         |r(st, ot, pred) AS (VALUES
-         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
-         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
-         |  ('Diseases','Operation','treated_with')),
+      s"""WITH $kgRuleCtes,
          |t AS (SELECT DISTINCT a.concept_id AS subj, b.concept_id AS obj
          |      FROM m a JOIN m b ON a.doc_id = b.doc_id
          |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
@@ -1339,14 +1341,7 @@ object SparkEntry {
     "kg_pagerank" -> {
       val iters = 5
       val base =
-        s"""WITH $lexCte,
-           |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
-           |      FROM ${fx("gold_mentions")} g
-           |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
-           |r(st, ot, pred) AS (VALUES
-           |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
-           |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
-           |  ('Diseases','Operation','treated_with')),
+        s"""WITH $kgRuleCtes,
            |t AS (SELECT DISTINCT a.concept_id AS src, b.concept_id AS dst
            |      FROM m a JOIN m b ON a.doc_id = b.doc_id
            |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
@@ -1402,36 +1397,31 @@ object SparkEntry {
       (base +: steps).mkString(",\n") +
         "\nSELECT node, label AS community FROM l3 ORDER BY node"
     },
-    // neighborhood-Jaccard replica: generator rows capped at the same
-    // maxDegree, co-neighbor pairs per shared neighbor, one double
-    // division each side (identical IEEE op), round 6
+    // neighborhood-Jaccard replica: hub-PRUNED neighbor sets (neighbors
+    // above the degree cap dropped from numerator AND denominator — the
+    // same pruned sets both sides), one double division each side
+    // (identical IEEE op), round 6
     "kg_node_similarity" ->
       s"""WITH $coocCtes,
          |deg AS (SELECT src AS node, count(*) AS deg FROM bi GROUP BY src),
-         |gen AS (SELECT b.dst AS w, b.src AS v
-         |        FROM bi b JOIN deg d ON b.dst = d.node WHERE d.deg <= 1000),
+         |pruned AS (SELECT b.dst AS w, b.src AS v
+         |           FROM bi b JOIN deg d ON b.dst = d.node WHERE d.deg <= 1000),
+         |pdeg AS (SELECT v AS node, count(*) AS pdeg FROM pruned GROUP BY v),
          |i AS (SELECT x.v AS a, y.v AS b, count(*) AS "inter"
-         |      FROM gen x JOIN gen y ON x.w = y.w AND x.v < y.v GROUP BY 1, 2),
+         |      FROM pruned x JOIN pruned y ON x.w = y.w AND x.v < y.v GROUP BY 1, 2),
          |j AS (SELECT i.a, i.b, i."inter",
          |        round(CAST(i."inter" AS DOUBLE) /
-         |              CAST(da.deg + db.deg - i."inter" AS DOUBLE), 6) AS jaccard
-         |      FROM i JOIN deg da ON i.a = da.node JOIN deg db ON i.b = db.node)
+         |              CAST(da.pdeg + db.pdeg - i."inter" AS DOUBLE), 6) AS jaccard
+         |      FROM i JOIN pdeg da ON i.a = da.node JOIN pdeg db ON i.b = db.node)
          |SELECT a, b, "inter", jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a, b""".stripMargin,
     // export replica: dense ids by sorted vocab order (row_number over
     // the vocabulary-bounded distinct sets), triples re-coded by joins
     "kg_embedding_export" ->
-      s"""WITH $lexCte,
-         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
-         |      FROM ${fx("gold_mentions")} g
-         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
-         |rr(st, ot, pred) AS (VALUES
-         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
-         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
-         |  ('Diseases','Operation','treated_with')),
-         |tr AS (SELECT DISTINCT a.concept_id AS subj, rr.pred, b.concept_id AS obj
+      s"""WITH $kgRuleCtes,
+         |tr AS (SELECT DISTINCT a.concept_id AS subj, r.pred, b.concept_id AS obj
          |       FROM m a JOIN m b ON a.doc_id = b.doc_id
-         |       JOIN rr ON a.entity_type = rr.st AND b.entity_type = rr.ot),
+         |       JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
          |ents AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr),
          |ev AS (SELECT entity,
          |         CAST(row_number() OVER (ORDER BY entity) - 1 AS INTEGER) AS ent_id
@@ -1880,14 +1870,7 @@ object SparkEntry {
          |JOIN lang USING (doc_id) JOIN gate USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "kg_khop" ->
-      s"""WITH RECURSIVE $lexCte,
-         |m AS (SELECT DISTINCT g.doc_id, g.entity_type, l.concept_id
-         |      FROM ${fx("gold_mentions")} g
-         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
-         |r(st, ot, pred) AS (VALUES
-         |  ('Diseases','Drug','treated_by'), ('Diseases','Laboratory','has_finding'),
-         |  ('Diseases','Anatomical','located_in'), ('Diseases','Image','diagnosed_by'),
-         |  ('Diseases','Operation','treated_with')),
+      s"""WITH RECURSIVE $kgRuleCtes,
          |t AS (SELECT DISTINCT a.concept_id AS subj, b.concept_id AS obj
          |      FROM m a JOIN m b ON a.doc_id = b.doc_id
          |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Bi-directed view of the undirected simple graph induced by an edge
+    * table: both orientations of every edge, self-loops dropped,
+    * parallel/reverse duplicates collapsed. The single definition of
+    * "undirected" shared by [[labelPropagation]], [[neighborJaccard]],
+    * and [[kHop]].
+    */
+  private def undirected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
   /** Out/in/total degree per node of a directed edge table.
     * Distinct parallel edges count once per (src, dst) pair.
     */
@@ -160,9 +172,7 @@ object GraphOps {
       iters: Int,
       srcCol: String = "subj",
       dstCol: String = "obj"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val bi = undirected(edges, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bi.count()
     var labels = bi.select(col("src").as("node")).distinct()
@@ -190,18 +200,24 @@ object GraphOps {
 
   /** Neighborhood Jaccard similarity — the relational link-prediction /
     * entity-resolution baseline over the constructed KG: for node pairs
-    * sharing at least one neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|, emitted
-    * for pairs with similarity ≥ `minSim`.
+    * sharing at least one (retained) neighbor,
+    * |N'(a)∩N'(b)| / |N'(a)∪N'(b)| emitted when ≥ `minSim`, where N' is
+    * the HUB-PRUNED neighborhood: neighbors whose own degree exceeds
+    * `maxDegree` are dropped from every neighbor set. With
+    * `maxDegree = ∞` this is exact Jaccard; with a finite cap it is
+    * exact Jaccard of the pruned graph — numerator and denominator use
+    * the SAME pruned sets, so the score is internally consistent (a
+    * hub never deflates a pair it cannot also connect).
     *
-    * Co-neighbor pairs are generated per SHARED neighbor (a self-join of
-    * the adjacency list on the neighbor column), so a hub of degree d
-    * would emit d² pairs — the same blow-up the dedup family's hot-bucket
-    * caps guard against. `maxDegree` excludes hubs as pair GENERATORS
-    * (their own rows still appear as endpoints via their other
-    * neighbors); with the cap the shuffle is bounded by
-    * Σ min(deg, maxDegree)² over nodes. The cap is part of the operator
-    * contract and replicated verbatim by the SQL oracle, so the compare
-    * stays exact.
+    * The cap exists because co-neighbor pairs are generated per shared
+    * neighbor (a self-join of the adjacency list on the neighbor
+    * column): a hub of degree d would emit d² pairs — the same blow-up
+    * the dedup family's hot-bucket caps guard against. A shared hub is
+    * also the least informative similarity evidence (the tf-idf
+    * argument), which is why pruning it from the sets, not just the
+    * generators, is the standard formulation. Shuffle is bounded by
+    * Σ_{deg(w)≤cap} deg(w)². The cap is part of the operator contract
+    * and replicated verbatim by the SQL oracle, so the compare is exact.
     */
   def neighborJaccard(
       edges: DataFrame,
@@ -209,22 +225,21 @@ object GraphOps {
       maxDegree: Long,
       srcCol: String = "subj",
       dstCol: String = "obj"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val adj = undirected(edges, srcCol, dstCol)
     val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // (neighbor w, endpoint) restricted to generator nodes w under the cap
-    val byNbr = adj.select(col("dst").as("w"), col("src").as("v"))
+    // adjacency restricted to retained (non-hub) neighbors w
+    val pruned = adj.select(col("dst").as("w"), col("src").as("v"))
       .join(deg.select(col("node").as("w"), col("deg").as("wdeg")), "w")
       .filter(col("wdeg") <= maxDegree)
       .select("w", "v")
-    val inter = byNbr.as("x")
-      .join(byNbr.as("y"), col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+    val pdeg = pruned.groupBy(col("v").as("node")).agg(count(lit(1)).as("pdeg"))
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.w") === col("y.w") && col("x.v") < col("y.v"))
       .groupBy(col("x.v").as("a"), col("y.v").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .join(pdeg.select(col("node").as("a"), col("pdeg").as("deg_a")), "a")
+      .join(pdeg.select(col("node").as("b"), col("pdeg").as("deg_b")), "b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("deg_a") + col("deg_b") - col("inter")).cast("double"), 6))
@@ -248,8 +263,7 @@ object GraphOps {
       dstCol: String = "obj"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val bi = undirected(edges, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bi.count()
     var visited = seeds.toDF("node").withColumn("hops", lit(0)).localCheckpoint()

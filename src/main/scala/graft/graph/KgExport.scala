@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-export of the materialized KG in the int-indexed layout
@@ -19,21 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object KgExport {
 
+  /** Dense contiguous ids by sorted name: global range-partitioned sort
+    * + `zipWithIndex`, the same idiom as `Lexicon.fromSurfaces` — ids
+    * equal (row_number − 1) of a global-window plan WITHOUT the
+    * single-task sort that plan would force if the vocabulary ever grew
+    * to ontology scale (a UMLS-sized entity set is millions of rows).
+    */
+  private def denseIds(names: DataFrame, nameCol: String, idCol: String): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    val indexed = names.select(col(nameCol)).distinct()
+      .orderBy(nameCol).as[String]
+      .rdd.zipWithIndex.map { case (name, i) => (name, i.toInt) }
+    spark.createDataset(indexed).toDF(nameCol, idCol)
+  }
+
   /** Dense-id entity vocabulary: (entity, ent_id) with ids 0..n-1 by
     * sorted entity name.
     */
-  def entityVocab(triples: DataFrame): DataFrame = {
-    val ents = triples.select(col("subj").as("entity"))
-      .union(triples.select(col("obj").as("entity"))).distinct()
-    ents.withColumn("ent_id",
-      (row_number().over(Window.orderBy("entity")) - 1).cast("int"))
-  }
+  def entityVocab(triples: DataFrame): DataFrame =
+    denseIds(
+      triples.select(col("subj").as("entity"))
+        .union(triples.select(col("obj").as("entity"))),
+      "entity", "ent_id")
 
   /** Dense-id relation vocabulary: (relation, rel_id), same scheme. */
   def relationVocab(triples: DataFrame): DataFrame =
-    triples.select(col("pred").as("relation")).distinct()
-      .withColumn("rel_id",
-        (row_number().over(Window.orderBy("relation")) - 1).cast("int"))
+    denseIds(triples.select(col("pred").as("relation")), "relation", "rel_id")
 
   /** The distinct triple set re-coded as (h, r, t) ints. */
   def embeddingExport(triples: DataFrame): DataFrame = {

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object NegativeSampling {
 
-  /** The draw kernel, shared verbatim with the Fixtures replica. */
+  /** The draw kernel, shared verbatim with the Fixtures replica
+    * (`Hashing.pick` is the same floor-mod the plan's `pmod` computes).
+    */
   def drawIndex(seed: Long, subj: String, pred: String, obj: String, j: Int, n: Int): Int =
-    math.floorMod(Hashing.hash2(seed, Hashing.hashString(s"$subj|$pred|$obj|$j")), n.toLong).toInt
+    Hashing.pick(Hashing.hash2(seed, Hashing.hashString(s"$subj|$pred|$obj|$j")), n)
 
   /** @param triples  positive triples with at least (subj, pred, obj, obj_type)
     * @param concepts candidate objects: (concept_id, entity_type) — the
@@ -65,8 +67,9 @@ object NegativeSampling {
       .withColumn("neg_obj",
         element_at(col("cands"), (pmod(h, size(col("cands"))) + 1).cast("int")))
       .drop("cands")
-      .filter(col("neg_obj") =!= col("obj"))
       // drop corruptions that are true triples for the same (subj, pred)
+      // — which subsumes neg_obj == obj, since (subj, pred, obj) is
+      // itself in the positive set
       .join(
         pos.select(col("subj"), col("pred"), col("obj").as("neg_obj")),
         Seq("subj", "pred", "neg_obj"), "left_anti")

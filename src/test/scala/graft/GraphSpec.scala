@@ -175,26 +175,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  /** Brute-force neighborhood Jaccard with the same generator cap. */
+  /** Brute-force hub-pruned neighborhood Jaccard: neighbors above the
+    * degree cap are dropped from every neighbor set (numerator AND
+    * denominator), matching the operator contract.
+    */
   private def localJaccard(
       es: Seq[(String, String)], minSim: Double, maxDeg: Long): Map[(String, String), (Long, Double)] = {
     val bi = es.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
     val nbrs = bi.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
     val deg = nbrs.map { case (v, ns) => v -> ns.size.toLong }
-    val pairs = for {
-      (w, _) <- nbrs.toSeq if deg(w) <= maxDeg
-      vs = nbrs.keys.filter(v => nbrs(v)(w)).toSeq.sorted
+    val pruned = nbrs.map { case (v, ns) => v -> ns.filter(w => deg(w) <= maxDeg) }
+    val vs = pruned.keys.toSeq.sorted
+    (for {
       i <- vs.indices; j <- (i + 1) until vs.size
-    } yield (vs(i), vs(j))
-    pairs.groupBy(identity).flatMap { case ((a, b), xs) =>
-      val inter = xs.size.toLong
-      val jac = BigDecimal(inter.toDouble / (deg(a) + deg(b) - inter).toDouble)
+      (a, b) = (vs(i), vs(j))
+      inter = (pruned(a) & pruned(b)).size.toLong if inter > 0
+      jac = BigDecimal(inter.toDouble / (pruned(a).size + pruned(b).size - inter).toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if (jac >= minSim) Some((a, b) -> ((inter, jac))) else None
-    }
+      if jac >= minSim
+    } yield (a, b) -> ((inter, jac))).toMap
   }
 
-  test("neighborJaccard matches brute force; the hub cap limits pair generators only") {
+  test("neighborJaccard matches brute force; hubs are pruned from the neighbor sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
     val base = for {
@@ -202,14 +204,15 @@ class GraphSpec extends AnyFunSuite {
     } yield (s"v$i", s"v$j")
     val hub = (0 until 25).map(i => (s"v$i", "hub"))
     val es = base ++ hub
-    for (cap <- Seq(1000L, 10L)) { // exact, and hub-excluded-as-generator
+    for (cap <- Seq(1000L, 10L)) { // exact Jaccard, and hub-pruned
       val got = GraphOps.neighborJaccard(edgesDf(es), 0.1, cap, "src", "dst")
         .as[(String, String, Long, Double)].collect()
         .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
       assert(got == localJaccard(es, 0.1, cap), s"cap=$cap")
     }
-    // with the cap below the hub's degree, the hub generates no pairs but
-    // still appears as an endpoint through its low-degree neighbors
+    // with the cap below the hub's degree, the hub is dropped from every
+    // neighbor SET but still appears as an endpoint (scored over its own
+    // low-degree neighbors)
     val capped = GraphOps.neighborJaccard(edgesDf(es), 0.0, 10L, "src", "dst")
       .as[(String, String, Long, Double)].collect()
     assert(capped.exists(r => r._1 == "hub" || r._2 == "hub"))
