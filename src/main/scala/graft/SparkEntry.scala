@@ -136,6 +136,20 @@ object SparkEntry {
       .select(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
   }
 
+  /** Weighted bi-directed co-occurrence edges for the SSSP query: per
+    * canonical concept pair, the number of co-occurring docs `n`, turned
+    * into an integer cost w = max(1, 6 − min(n, 5)) (strong edges are
+    * cheap), then both orientations emitted. Same derivation unrolled in
+    * the kg_shortest_paths oracle.
+    */
+  private def weightedCoocEdges(s: SparkSession, dir: String): DataFrame = {
+    val pair = coocEdges(s, dir)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), lit(6L) - least(col("n"), lit(5L))).as("w"))
+    pair.unionByName(pair.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -231,6 +245,37 @@ object SparkEntry {
       graft.graph.GraphOps.neighborJaccard(
         coocEdges(s, dir), minSim = 0.5, maxDegree = 1000L, "src", "dst")
         .orderBy("a", "b")
+    }),
+    "kg_motifs" -> ((s, dir) => {
+      // predicate wedge census (schema profiling before rule writing):
+      // unordered predicate pairs sharing a subject, counted WITHOUT
+      // pairing edges — counts per (subj, pred) are paired instead, so
+      // per-subject fan-out is |P|²-bounded, never degree-quadratic
+      val (_, docs) = goldAndDocs(s, dir)
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+      graft.graph.GraphOps.predicateWedges(triples).orderBy("pred_a", "pred_b")
+    }),
+    "kg_rule_confidence" -> ((s, dir) => {
+      // AMIE-style single-atom rule mining: confidence that a subject
+      // with an antecedent edge type also carries the consequent type.
+      // Exact long counts; confidence is the same two-long IEEE division
+      // on both engines
+      val (_, docs) = goldAndDocs(s, dir)
+      val triples = KgPipeline.run(docs, lexicon(s)).toDF()
+      graft.graph.GraphOps.ruleImplication(triples)
+        .orderBy("antecedent", "consequent")
+    }),
+    "kg_shortest_paths" -> ((s, dir) => {
+      // bounded-round weighted SSSP (Bellman-Ford, min-plus) from the hub
+      // concept over the co-occurrence graph; integer edge weights favor
+      // strongly-supported edges (w = max(1, 6 − min(n_docs, 5))), so the
+      // distributed min is bit-exact vs the unrolled SQL replica
+      import s.implicits._
+      val seed = lexicon(s).filter(col("surface") === DocsGen.HubSurface)
+        .select("concept_id").as[String].head()
+      graft.graph.GraphOps.shortestPaths(
+        weightedCoocEdges(s, dir), Seq(seed), rounds = 4)
+        .orderBy("node")
     }),
     "kg_embedding_export" -> ((s, dir) => {
       // int-indexed training export (TransE-toolkit layout): dense ids
@@ -1380,6 +1425,66 @@ object SparkEntry {
     "kg_negatives" ->
       s"""SELECT subj, pred, obj, neg_obj, attempt FROM ${fx("expected_negatives")}
          |ORDER BY subj, pred, obj, attempt""".stripMargin,
+    // wedge-census replica: per-(subj,pred) counts paired (never edges),
+    // C(c,2) within a predicate, c_a·c_b across; sums CAST-pinned to
+    // BIGINT (DuckDB sum(BIGINT) is HUGEINT — the r3 rollup trap)
+    "kg_motifs" ->
+      s"""WITH $kgRuleCtes,
+         |t AS (SELECT DISTINCT a.concept_id AS subj, r.pred, b.concept_id AS obj
+         |      FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |      JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
+         |c AS (SELECT subj, pred, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT x.pred AS pred_a, y.pred AS pred_b,
+         |         CAST(sum(CASE WHEN x.pred = y.pred
+         |                       THEN CAST(x.c * (x.c - 1) / 2 AS BIGINT)
+         |                       ELSE x.c * y.c END) AS BIGINT) AS n_wedges
+         |  FROM c x JOIN c y ON x.subj = y.subj AND x.pred <= y.pred
+         |  GROUP BY 1, 2)
+         |WHERE n_wedges > 0 ORDER BY pred_a, pred_b""".stripMargin,
+    // rule-implication replica: subject-level (subj, pred) distinct sets,
+    // support and co-support by exact counts, confidence = the identical
+    // two-long IEEE division rounded to 6 on both engines
+    "kg_rule_confidence" ->
+      s"""WITH $kgRuleCtes,
+         |sp AS (SELECT DISTINCT a.concept_id AS subj, r.pred
+         |       FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |       JOIN r ON a.entity_type = r.st AND b.entity_type = r.ot),
+         |supp AS (SELECT pred, count(*) AS n_antecedent FROM sp GROUP BY pred),
+         |bo AS (SELECT a.pred AS antecedent, b.pred AS consequent, count(*) AS n_both
+         |       FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred <> b.pred
+         |       GROUP BY 1, 2)
+         |SELECT antecedent, consequent, n_antecedent, n_both,
+         |       round(CAST(n_both AS DOUBLE) / n_antecedent, 6) AS confidence
+         |FROM bo JOIN supp ON bo.antecedent = supp.pred
+         |ORDER BY antecedent, consequent""".stripMargin,
+    // weighted-SSSP replica: co-occurrence support counts → integer edge
+    // costs, Bellman-Ford unrolled one CTE per round (min over the
+    // previous round ∪ one relaxation) — integer min-plus, zero tolerance
+    "kg_shortest_paths" -> {
+      val base =
+        s"""WITH $lexCte,
+           |m AS (SELECT DISTINCT g.doc_id, l.concept_id
+           |      FROM ${fx("gold_mentions")} g
+           |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+           |p AS (SELECT a.concept_id AS src, b.concept_id AS dst, count(*) AS n
+           |      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.concept_id < b.concept_id
+           |      GROUP BY 1, 2),
+           |e AS (SELECT src, dst, greatest(1, 6 - least(n, 5)) AS w FROM p
+           |      UNION ALL
+           |      SELECT dst, src, greatest(1, 6 - least(n, 5)) FROM p),
+           |d0 AS (SELECT concept_id AS node, CAST(0 AS BIGINT) AS dist
+           |       FROM lex WHERE surface = '${DocsGen.HubSurface}')""".stripMargin
+      val steps = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d.dist + e.w FROM d${i - 1} d JOIN e ON d.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }
+      (base +: steps).mkString(",\n") +
+        "\nSELECT node, dist FROM d4 ORDER BY node"
+    },
     // LPA replica: integer-only relational argmax per round, unrolled —
     // count neighbor labels → per-node max count → MIN label at the max
     "kg_communities" -> {

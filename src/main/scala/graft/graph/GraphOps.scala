@@ -283,4 +283,122 @@ object GraphOps {
     bi.unpersist()
     visited
   }
+
+  /** Predicate wedge census: for every unordered predicate pair
+    * (pred_a ≤ pred_b), the number of unordered pairs of DISTINCT edges
+    * that share a subject — i.e. how often two relation types co-occur
+    * on the same entity. The schema-profiling query a KG consumer runs
+    * before writing multi-hop rules.
+    *
+    * Scale shape: the naive formulation self-joins the edge table on
+    * subject, which is quadratic in hub out-degree. This one never
+    * pairs edges at all — it counts edges per (subject, predicate)
+    * first (one partial-agg groupBy), then pairs the COUNTS: the
+    * per-subject fan-out of that join is bounded by the predicate
+    * vocabulary (|P|², single digits for any real ontology), not by
+    * degree, so a celebrity subject with a million edges contributes
+    * |P|² rows, same as any other. Wedge counts come out in closed form
+    * (c_a·c_b across predicates, C(c,2) within one).
+    */
+  def predicateWedges(
+      triples: DataFrame,
+      subjCol: String = "subj",
+      predCol: String = "pred",
+      objCol: String = "obj"): DataFrame = {
+    val c = triples
+      .select(col(subjCol).as("subj"), col(predCol).as("pred"), col(objCol).as("obj"))
+      .distinct()
+      .groupBy("subj", "pred").agg(count(lit(1)).as("c"))
+    // c·(c−1) is always even, so the double division is exact and the
+    // cast back to long is lossless (counts ≪ 2^52)
+    c.as("x")
+      .join(c.as("y"),
+        col("x.subj") === col("y.subj") && col("x.pred") <= col("y.pred"))
+      .select(
+        col("x.pred").as("pred_a"), col("y.pred").as("pred_b"),
+        when(col("x.pred") === col("y.pred"),
+          (col("x.c") * (col("x.c") - 1) / 2).cast("long"))
+          .otherwise(col("x.c") * col("y.c")).as("w"))
+      .groupBy("pred_a", "pred_b").agg(sum(col("w")).as("n_wedges"))
+      .filter(col("n_wedges") > 0)
+  }
+
+  /** AMIE-style rule implication table over the KG: for every ORDERED
+    * predicate pair (antecedent ⇒ consequent, antecedent ≠ consequent),
+    * the number of subjects with at least one antecedent edge
+    * (`n_antecedent`), the number of those that also have a consequent
+    * edge (`n_both`), and the rule confidence `n_both / n_antecedent`
+    * (rounded to 6 — the ratio of two exact longs, so both engines
+    * compute the identical IEEE double). The standard first cut of KG
+    * rule mining (AMIE's single-atom body, subject-shared head).
+    *
+    * Scale shape: one distinct projection to (subj, pred) — at most |P|
+    * rows per subject — then a self-join whose per-subject fan-out is
+    * again vocabulary-bounded, and two partial-agg groupBys over
+    * predicate-sized results. Nothing is ever quadratic in degree.
+    */
+  def ruleImplication(
+      triples: DataFrame,
+      subjCol: String = "subj",
+      predCol: String = "pred"): DataFrame = {
+    val sp = triples.select(col(subjCol).as("subj"), col(predCol).as("pred")).distinct()
+    val support = sp.groupBy("pred").agg(count(lit(1)).as("n_antecedent"))
+    val both = sp.as("a")
+      .join(sp.as("b"), col("a.subj") === col("b.subj") && col("a.pred") =!= col("b.pred"))
+      .groupBy(col("a.pred").as("pred"), col("b.pred").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(support, "pred")
+      .select(
+        col("pred").as("antecedent"), col("consequent"),
+        col("n_antecedent"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_antecedent"), 6).as("confidence"))
+  }
+
+  /** Bounded-round single/multi-source WEIGHTED shortest paths
+    * (Bellman-Ford over the min-plus semiring): after `rounds` rounds,
+    * `dist(v)` is the minimum total weight of any path from a seed to v
+    * using at most `rounds` edges; unreached nodes are absent. Integer
+    * weights make the result bit-exact (no float min drift), which is
+    * what lets an unrolled SQL replica oracle it with zero tolerance.
+    * Complements [[kHop]] (unweighted hop distance): here a long cheap
+    * path beats a short expensive one.
+    *
+    * `edges` must carry every traversable orientation (pass a
+    * bi-directed view for undirected semantics) with a LONG `weightCol`.
+    *
+    * Scale shape: each round is one equi-join (frontier × out-edges,
+    * broadcast-able while the reached set is small; AQE picks) and one
+    * min-groupBy with map-side partial aggregation; lineage truncated
+    * per round like [[pagerank]] so the plan stays constant-depth. The
+    * classic iterative-relational SSSP — no vertex-program framework,
+    * no driver-side state beyond the seed list.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      seeds: Seq[String],
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"), col(weightCol).cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var dist = seeds.toDF("node").withColumn("dist", lit(0L)).localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist()
+    dist
+  }
 }

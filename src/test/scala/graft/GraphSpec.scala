@@ -289,4 +289,122 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, String, String, String, Int)].collect().toSeq.sorted
     assert(re == out)
   }
+
+  private def triplesDf(ts: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    ts.toDF("subj", "pred", "obj")
+  }
+
+  /** Brute-force wedge reference: unordered pairs of distinct edges
+    * sharing a subject, keyed by the sorted predicate pair.
+    */
+  private def localWedges(ts: Seq[(String, String, String)]): Map[(String, String), Long] = {
+    val es = ts.distinct
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for {
+      i <- es.indices; j <- (i + 1) until es.size
+      if es(i)._1 == es(j)._1
+    } {
+      val key = if (es(i)._2 <= es(j)._2) (es(i)._2, es(j)._2) else (es(j)._2, es(i)._2)
+      counts(key) += 1
+    }
+    counts.toMap
+  }
+
+  test("predicateWedges: closed-form counts, duplicate edges collapse, zero rows filtered") {
+    import spark.implicits._
+    val ts = Seq(
+      ("s1", "p1", "o1"), ("s1", "p1", "o2"), ("s1", "p1", "o2"), // dup collapses
+      ("s1", "p2", "o3"), ("s2", "p2", "o1"))
+    val got = GraphOps.predicateWedges(triplesDf(ts))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // s1 has two distinct p1 edges (C(2,2)=1) and one p2 edge (2·1 cross);
+    // single-edge (p,p) combinations yield 0 and must not appear
+    assert(got == Map(("p1", "p1") -> 1L, ("p1", "p2") -> 2L))
+    assert(got == localWedges(ts))
+  }
+
+  test("predicateWedges matches brute force on a random multigraph with a hub subject") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ts = (0 until 400).map { _ =>
+      val s = if (rnd.nextInt(3) == 0) "hub" else s"s${rnd.nextInt(10)}"
+      (s, s"p${rnd.nextInt(4)}", s"o${rnd.nextInt(25)}")
+    }
+    val got = GraphOps.predicateWedges(triplesDf(ts))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == localWedges(ts))
+  }
+
+  test("ruleImplication: support, co-support, and confidence per ordered predicate pair") {
+    import spark.implicits._
+    val ts = Seq(
+      ("d1", "treated_by", "x1"), ("d1", "treated_by", "x2"), // one subject, counted once
+      ("d1", "has_finding", "l1"),
+      ("d2", "treated_by", "x1"),
+      ("d3", "has_finding", "l2"))
+    val got = GraphOps.ruleImplication(triplesDf(ts))
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // treated_by subjects: d1, d2 (2); has_finding subjects: d1, d3 (2); both: d1
+    assert(got(("treated_by", "has_finding")) == ((2L, 1L, 0.5)))
+    assert(got(("has_finding", "treated_by")) == ((2L, 1L, 0.5)))
+    assert(got.size == 2)
+  }
+
+  /** Local Dijkstra reference over a bi-directed weighted edge list,
+    * truncated to paths of at most `rounds` edges (Bellman-Ford rounds).
+    */
+  private def localSssp(
+      es: Seq[(String, String, Long)], seeds: Seq[String], rounds: Int): Map[String, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = es.flatMap { case (s, d, w) => dist.get(s).map(x => d -> (x + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    dist
+  }
+
+  test("shortestPaths: a cheap long path beats an expensive direct edge") {
+    import spark.implicits._
+    val es = Seq(("a", "b", 5L), ("a", "c", 1L), ("c", "b", 1L))
+    val bi = es ++ es.map { case (s, d, w) => (d, s, w) }
+    val at3 = GraphOps.shortestPaths(bi.toDF("src", "dst", "w"), Seq("a"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(at3 == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+    // round-bounded: within one edge the direct w=5 is the best known
+    val at1 = GraphOps.shortestPaths(bi.toDF("src", "dst", "w"), Seq("a"), rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(at1 == Map("a" -> 0L, "b" -> 5L, "c" -> 1L))
+  }
+
+  test("shortestPaths matches the local reference on a random graph; unreached nodes absent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val core = (0 until 120).map { _ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}", 1L + rnd.nextInt(9))
+    }.filter(e => e._1 != e._2)
+    // an island component no seed can reach
+    val es = core ++ Seq(("i1", "i2", 1L), ("i2", "i1", 1L))
+    val bi = (es ++ es.map { case (s, d, w) => (d, s, w) }).distinct
+    val got = GraphOps.shortestPaths(bi.toDF("src", "dst", "w"), Seq("n0", "n7"), rounds = 6)
+      .as[(String, Long)].collect().toMap
+    assert(got == localSssp(bi, Seq("n0", "n7"), rounds = 6))
+    assert(!got.contains("i1") && !got.contains("i2"))
+  }
+
+  test("shortestPaths plan depth is bounded across rounds (lineage truncated per round)") {
+    import spark.implicits._
+    val ring = (0 until 40).map(i => (s"n$i", s"n${(i + 1) % 40}", 2L))
+    val bi = ring ++ ring.map { case (s, d, w) => (d, s, w) }
+    val sp = GraphOps.shortestPaths(bi.toDF("src", "dst", "w"), Seq("n0"), rounds = 12)
+    val depth = sp.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(depth < 20, s"plan unexpectedly deep: $depth lines")
+    // ring of weight-2 edges: dist is 2·min(hops clockwise, counter)
+    val got = sp.as[(String, Long)].collect().toMap
+    (0 until 40).foreach { i =>
+      val hops = math.min(i, 40 - i)
+      if (hops <= 12) assert(got(s"n$i") == 2L * hops)
+    }
+  }
 }
