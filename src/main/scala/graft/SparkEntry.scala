@@ -939,6 +939,28 @@ object SparkEntry {
         rangeUs = 300L * 1000000L)
         .orderBy("event_id")
     }),
+    "q_events_band_join_auto" -> ((s, dir) => {
+      // the band-join OPTIMIZER RULE, driver-checked: this is a plain
+      // declarative interval join — no manual bucketing anywhere in the
+      // query — that Spark would plan as BroadcastNestedLoopJoin
+      // (O(errors × events): ~1e9 comparisons at sf0.1). The injected
+      // BandJoinRewrite turns it into the bucketed hash equi-join at
+      // plan time; the rule is conf-gated and output-preserving, so
+      // installing it session-wide is safe by construction
+      val rule = graft.plans.BandJoinRewrite(s)
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandJoinRewrite]))
+        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+      s.conf.set(rule.ConfKey, (240L * 1000000L).toString)
+      val e = s.read.parquet(t(dir, "events"))
+      val all = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val win = e.filter(col("event_type") === "error").select(
+        col("event_id"),
+        (unix_micros(col("ts").cast("timestamp")) - 120L * 1000000L).as("lo"),
+        (unix_micros(col("ts").cast("timestamp")) + 120L * 1000000L).as("hi"))
+      all.join(win, all("ts_us") >= win("lo") && all("ts_us") <= win("hi"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_in_band"))
+        .orderBy("event_id")
+    }),
     "q_events_session_window" -> ((s, dir) => {
       // Spark's NATIVE gap-session operator, cross-validating the manual
       // sessionization (q_events_sessionize) against the same DuckDB
@@ -1267,6 +1289,16 @@ object SparkEntry {
         |FROM er LEFT JOIN al ON er.user_id = al.user_id
         |  AND abs(al.ts_us - er.ts_us) <= 300 * 1000000
         |GROUP BY 1, 2, 3 ORDER BY er.event_id""".stripMargin,
+    // plain inequality join in DuckDB (its IEJoin handles bands natively)
+    "q_events_band_join_auto" ->
+      """WITH w AS (
+        |  SELECT event_id, epoch_us(ts) - 120 * 1000000 AS lo,
+        |         epoch_us(ts) + 120 * 1000000 AS hi
+        |  FROM events WHERE event_type = 'error'),
+        |a AS (SELECT epoch_us(ts) AS ts_us FROM events)
+        |SELECT w.event_id, count(*) AS n_in_band
+        |FROM w JOIN a ON a.ts_us >= w.lo AND a.ts_us <= w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the native session_window derivation must land on the SAME answer
     "q_events_session_window" ->
       """WITH o AS (

@@ -20,6 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: band-predicate inner joins (no equi key → Spark
+    // would BNLJ/cartesian) → bucketed equi-joins; no-op until
+    // spark.graft.bandJoin.bucketSize is set to a positive long
+    ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

@@ -211,6 +211,16 @@ class PlanSpec extends AnyFunSuite {
       "draw not planned via the native hash expressions")
   }
 
+  test("auto band-join query: the optimizer rule turns the interval join into a hash equi-join") {
+    // the query installs BandJoinRewrite into the session (harmless for
+    // other suites: conf-gated, fires only on pure band inner joins, and
+    // is output-preserving when it does)
+    val p = plan(SparkEntry.queries("q_events_band_join_auto")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join not rewritten:\n$p")
+    assert(p.contains("__band_bucket"), "bucket key missing — rule did not fire")
+  }
+
   test("headline aggregation runs inside whole-stage codegen") {
     // AQE wraps the plan; the codegen explain mode shows the compiled spans
     val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)
