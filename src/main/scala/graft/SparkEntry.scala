@@ -125,11 +125,15 @@ object SparkEntry {
     * queries. Pair generation is per-doc (bounded by doc length), same
     * scale argument as triple assembly.
     */
-  private def coocEdges(s: SparkSession, dir: String): DataFrame = {
+  private def perDocConcepts(s: SparkSession, dir: String): DataFrame = {
     val (_, docs) = goldAndDocs(s, dir)
     val mentions = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
     val linked = Linker.link(mentions, lexicon(s)).toDF()
-    val perDoc = linked.select(col("doc_id"), col("concept_id")).distinct()
+    linked.select(col("doc_id"), col("concept_id")).distinct()
+  }
+
+  private def coocEdges(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = perDocConcepts(s, dir)
     perDoc.as("a")
       .join(perDoc.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
@@ -275,6 +279,24 @@ object SparkEntry {
         .select("concept_id").as[String].head()
       graft.graph.GraphOps.shortestPaths(
         weightedCoocEdges(s, dir), Seq(seed), rounds = 4)
+        .orderBy("node")
+    }),
+    "kg_kcore" -> ((s, dir) => {
+      // k-core of the support-sparsified co-occurrence graph: keep pairs
+      // co-occurring in ≥1.5% of mention-bearing docs (SF-RELATIVE, so
+      // the sparsification carries across scales; the comparison is
+      // integer-exact: n·1000 ≥ 15·n_docs), then 3 peeling rounds at
+      // k=5. The one driver-side value is the scalar doc count —
+      // aggregate-bounded, same class as Mixture's per-source totals.
+      val perDoc = perDocConcepts(s, dir)
+      val nDocs = perDoc.select(countDistinct(col("doc_id"))).head().getLong(0)
+      val pairs = perDoc.as("a")
+        .join(perDoc.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
+        .groupBy(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * 1000L >= lit(15L) * nDocs)
+      graft.graph.GraphOps.kCore(pairs, k = 5L, rounds = 3, "src", "dst")
         .orderBy("node")
     }),
     "kg_embedding_export" -> ((s, dir) => {
@@ -544,6 +566,25 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "doc_id", "n_chars",
         capacity = 4096L, blockSize = 64)
         .orderBy("doc_id")
+    }),
+    "q_docs_chunk" -> ((s, dir) => {
+      // LLM context-window chunking: whitespace tokens, 64-token windows
+      // at stride 48 (16-token overlap). Fully narrow per-doc work — one
+      // codegen'd split + one explode of the stride sequence, no UDF, no
+      // shuffle before the presentation sort; chunk_ix = tok_start/48
+      // keeps the numbering relational on both engines.
+      val d = s.read.parquet(t(dir, "documents"))
+      d.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(48))).as("tok_start"))
+        .select(
+          col("doc_id"),
+          (col("tok_start") / 48).cast("long").as("chunk_ix"),
+          col("tok_start").cast("long").as("tok_start"),
+          size(slice(col("toks"), col("tok_start") + 1, lit(64))).cast("long").as("n_tok"),
+          array_join(slice(col("toks"), col("tok_start") + 1, lit(64)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_ix")
     }),
     "q_events_pivot" -> ((s, dir) => {
       // PIVOT: per-user event counts spread over the bounded event-type
@@ -925,6 +966,26 @@ object SparkEntry {
           round(col("pvalue_asof"), 6).as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_events_asof_exec" -> ((s, dir) => {
+      // the SAME as-of semantics through the custom physical operator
+      // (plans/AsOfJoin: LogicalPlan + Strategy + sorted-merge SparkPlan —
+      // the full whole-operator extension stack): two key exchanges + two
+      // in-partition sorts + a one-pass merge, instead of the union+window
+      // shape. Shares q_events_asof's DuckDB ASOF oracle derivation.
+      val e = s.read.parquet(t(dir, "events"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"), col("event_id"))
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), col("event_id")).as("pvalue"))
+      graft.plans.AsOfJoin.asof(views, purchases, Seq("user_id"), "ts_us", Seq("pvalue"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("pvalue_asof"), 6).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
     "q_events_range_join" -> ((s, dir) => {
       // RANGE JOIN via time-bucketing: events within ±5 min of each
       // error event, same user — equi-join on (user, coarse bucket) +
@@ -1281,6 +1342,16 @@ object SparkEntry {
         |SELECT v.event_id, v.user_id, v.ts_us, round(p.pvalue, 6) AS last_purchase_value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
         |ORDER BY v.event_id""".stripMargin,
+    // identical semantics through the custom merge operator → same oracle
+    "q_events_asof_exec" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max_by(value, event_id) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.ts_us, round(p.pvalue, 6) AS last_purchase_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+        |ORDER BY v.event_id""".stripMargin,
     "q_events_range_join" ->
       """WITH er AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
@@ -1552,6 +1623,30 @@ object SparkEntry {
          |      FROM i JOIN pdeg da ON i.a = da.node JOIN pdeg db ON i.b = db.node)
          |SELECT a, b, "inter", jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // k-core replica: support-sparsified pair graph (integer-exact
+    // threshold n·1000 ≥ 15·n_docs), 3 peeling rounds at k=5 unrolled —
+    // degree groupBy + two endpoint joins per round, zero tolerance
+    "kg_kcore" -> {
+      val base =
+        s"""WITH $lexCte,
+           |m AS (SELECT DISTINCT g.doc_id, l.concept_id
+           |      FROM ${fx("gold_mentions")} g
+           |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM m),
+           |p AS (SELECT a.concept_id AS src, b.concept_id AS dst, count(*) AS n
+           |      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.concept_id < b.concept_id
+           |      GROUP BY 1, 2),
+           |e AS (SELECT src, dst FROM p WHERE n * 1000 >= 15 * (SELECT n_docs FROM nd)),
+           |b0 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""dg$i AS (SELECT src, count(*) AS d FROM b${i - 1} GROUP BY src),
+           |k$i AS (SELECT src AS node FROM dg$i WHERE d >= 5),
+           |b$i AS (SELECT e.src, e.dst FROM b${i - 1} e
+           |        JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+      }
+      (base +: steps).mkString(",\n") +
+        "\nSELECT src AS node, count(*) AS degree FROM b3 GROUP BY src ORDER BY node"
+    },
     // export replica: dense ids by sorted vocab order (row_number over
     // the vocabulary-bounded distinct sets), triples re-coded by joins
     "kg_embedding_export" ->
@@ -1957,6 +2052,17 @@ object SparkEntry {
         |LEFT JOIN contaminated c ON d.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
+    // chunking replica: same whitespace regex, same 1-based 64-wide
+    // slices at stride 48 (DuckDB list slices clamp like Spark's slice)
+    "q_docs_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS tok_start FROM t)
+        |SELECT doc_id, tok_start // 48 AS chunk_ix, tok_start,
+        |  len(toks[tok_start + 1 : tok_start + 64]) AS n_tok,
+        |  array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
     "q_docs_pack" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, n_chars AS n_tokens, doc_id // 64 AS pack_block,

@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would BNLJ/cartesian) → bucketed equi-joins; no-op until
     // spark.graft.bandJoin.bucketSize is set to a positive long
     ext.injectOptimizerRule(session => graft.plans.BandJoinRewrite(session))
+    // planner strategy for the custom AsOfJoin logical node (sorted-merge
+    // backward as-of join); fires only on that node
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

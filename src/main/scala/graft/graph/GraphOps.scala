@@ -401,4 +401,41 @@ object GraphOps {
     e.unpersist()
     dist
   }
+
+  /** Bounded-round k-core peeling over the undirected simple graph: each
+    * round computes degrees over the surviving subgraph and drops every
+    * node with degree < k (and its edges). After `rounds` rounds the
+    * surviving nodes are returned with their degree INSIDE the surviving
+    * subgraph. With enough rounds this converges to the exact k-core
+    * (each round either strictly shrinks the graph or is the fixpoint);
+    * a bounded round count keeps the operator oracle-able by an unrolled
+    * SQL replica and the plan constant-depth (per-round lineage
+    * truncation, like [[pagerank]] / [[labelPropagation]]).
+    *
+    * Scale shape: each round is ONE degree groupBy (partial agg — the
+    * bi-directed table is keyed by src, so degree = per-key count) and
+    * two hash equi-joins filtering edges to surviving endpoints. Node-
+    * and edge-sized shuffles only; nothing quadratic, nothing driver-side.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Long,
+      rounds: Int,
+      srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    var bi = undirected(edges, srcCol, dstCol).localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = bi.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      bi = bi
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+      i += 1
+    }
+    bi.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
 }

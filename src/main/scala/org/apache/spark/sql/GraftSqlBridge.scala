@@ -14,6 +14,21 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point a
+    * custom LogicalPlan operator needs (`Dataset.ofRows` is
+    * `private[sql]`).
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (for building custom
+    * operator nodes over existing frames).
+    */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Register a function builder under a name in the session registry. */
   def registerFunction(
       spark: SparkSession,

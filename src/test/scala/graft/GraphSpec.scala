@@ -407,4 +407,63 @@ class GraphSpec extends AnyFunSuite {
       if (hops <= 12) assert(got(s"n$i") == 2L * hops)
     }
   }
+
+  /** Sequential peeling reference: `rounds` rounds of drop-degree-<k over
+    * the undirected simple graph, then surviving (node, degree).
+    */
+  private def localKCore(
+      es: Seq[(String, String)], k: Long, rounds: Int): Map[String, Long] = {
+    var bi = es.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    for (_ <- 1 to rounds) {
+      val deg = bi.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      bi = bi.filter(e => keep(e._1) && keep(e._2))
+    }
+    bi.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kCore: ring survives k=2 intact; star is fully peeled; pendant chain peels") {
+    import spark.implicits._
+    val ring = (0 until 6).map(i => (s"r$i", s"r${(i + 1) % 6}"))
+    // star: hub with 5 leaves — every leaf has degree 1, so k=2 peels the
+    // leaves in round 1 and the bare hub in round 2
+    val star = (1 to 5).map(i => ("hub", s"leaf$i"))
+    // pendant chain hanging off the ring: peels one layer per round
+    val chain = Seq(("r0", "c1"), ("c1", "c2"))
+    val edges = (ring ++ star ++ chain).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 2L, rounds = 3, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == (0 until 6).map(i => s"r$i" -> 2L).toMap)
+    assert(got == localKCore(ring ++ star ++ chain, 2L, 3))
+  }
+
+  test("kCore matches the sequential peeling reference on a random graph at several k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val es = (0 until 300).map { _ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")
+    }
+    val df = es.toDF("src", "dst")
+    for (k <- Seq(2L, 4L, 7L)) {
+      val got = GraphOps.kCore(df, k, rounds = 4, "src", "dst")
+        .as[(String, Long)].collect().toMap
+      assert(got == localKCore(es, k, 4), s"k=$k mismatch")
+    }
+  }
+
+  test("kCore: bounded rounds peel exactly one chain layer per round") {
+    import spark.implicits._
+    // a path a0-a1-...-a5: endpoints have degree 1; each k=2 round peels
+    // both current endpoints, so after 2 rounds the middle segment remains
+    val path = (0 until 5).map(i => (s"a$i", s"a${i + 1}"))
+    val after2 = GraphOps.kCore(path.toDF("src", "dst"), k = 2L, rounds = 2, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(after2 == localKCore(path, 2L, 2))
+    assert(after2.keySet == Set("a2", "a3")) // a0,a5 round 1; a1,a4 round 2
+    // full convergence: a path has no 2-core
+    val after4 = GraphOps.kCore(path.toDF("src", "dst"), k = 2L, rounds = 4, "src", "dst")
+      .as[(String, Long)].collect()
+    assert(after4.isEmpty)
+  }
 }

@@ -221,6 +221,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__band_bucket"), "bucket key missing — rule did not fire")
   }
 
+  test("custom as-of exec query plans as the merge operator, not a window") {
+    val df = SparkEntry.queries("q_events_asof_exec")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    assert(!p.contains("Window"), s"window fallback leaked:\n$p")
+  }
+
+  test("chunking query is narrow: no exchange before the presentation sort, no UDF") {
+    val df = SparkEntry.queries("q_docs_chunk")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF"), s"UDF leaked into the chunk plan:\n$p")
+    // exactly one exchange — the rangepartitioning for the final orderBy;
+    // the tokenize/explode/slice work is all in-partition
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking shuffled before the sort:\n$p")
+  }
+
   test("headline aggregation runs inside whole-stage codegen") {
     // AQE wraps the plan; the codegen explain mode shows the compiled spans
     val df = SparkEntry.queries("q_lineitem_pricing")(spark, sf)

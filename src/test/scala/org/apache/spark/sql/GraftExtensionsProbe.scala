@@ -10,4 +10,9 @@ object GraftExtensionsProbe {
   def optimizerRules(
       ext: SparkSessionExtensions, spark: SparkSession): Seq[Rule[LogicalPlan]] =
     ext.buildOptimizerRules(spark)
+
+  def plannerStrategies(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }
