@@ -144,6 +144,38 @@ object Fixtures {
         }
       }
       write(negRows.toDF("subj", "pred", "obj", "neg_obj", "attempt"), "expected_negatives")
+
+      // -------------------------- random walks (local sequential)
+      // replicates RandomWalks.walks over the UNscoped co-occurrence
+      // graph: sorted capped adjacency + the same stepDraw kernel. The
+      // distributed machinery under test: per-step broadcast joins, the
+      // codegen'd hash draw, and partition-independent frontier unions.
+      val coPairs: Set[(String, String)] = gold.flatMap(_.mentions)
+        .map(m => (m.doc_id, conceptOf((m.text, m.entity_type))))
+        .distinct
+        .groupBy(_._1)
+        .values
+        .flatMap { ms =>
+          val cs = ms.map(_._2).distinct
+          for (a <- cs; b <- cs if a < b) yield (a, b)
+        }.toSet
+      val walkAdj: Map[String, IndexedSeq[String]] = coPairs.toSeq
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).distinct.sorted.take(1024).toIndexedSeq }
+      val walkRows: Seq[(String, Int, Int, String)] =
+        walkAdj.keys.toSeq.sorted.flatMap { start =>
+          (0 until SparkEntry.WalksPerNode).flatMap { w =>
+            var cur = start
+            (start, w, 0, start) +: (1 to SparkEntry.WalkLen).map { st =>
+              val nbrs = walkAdj(cur)
+              cur = nbrs(graft.graph.RandomWalks.stepDraw(
+                SparkEntry.WalksSeed, start, w, st, cur, nbrs.size))
+              (start, w, st, cur)
+            }
+          }
+        }
+      write(walkRows.toDF("start", "walk", "step", "node"), "expected_walks")
     }
 
     // ------------------------------------- augmentation (local sequential)

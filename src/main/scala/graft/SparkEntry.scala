@@ -43,6 +43,11 @@ object SparkEntry {
   /** kg_negatives' training-split scope (exclusive doc_id upper bound). */
   private[graft] val NegativesDocCap: String = "doc-0000000025"
 
+  /** kg_random_walks' draw — shared with the Fixtures replica. */
+  private[graft] val WalksPerNode: Int = 2
+  private[graft] val WalkLen: Int = 4
+  private[graft] val WalksSeed: Long = 0x57A1CL
+
   /** Oracle fixture table (staged by [[Fixtures.stage]]; `{OUT}` is
     * substituted with the verify outDir when `oracle_sql.json` is written).
     */
@@ -325,6 +330,19 @@ object SparkEntry {
         k = NegativesK, seed = NegativesSeed)
         .orderBy("subj", "pred", "obj", "attempt")
     }),
+    "kg_random_walks" -> ((s, dir) => {
+      // DeepWalk/node2vec-style corpus generation over the concept
+      // co-occurrence graph: walksPerNode seeded walks of walkLen steps
+      // from every node; the next-hop draw is a pure function of
+      // (seed, start, walk, step, current) through the codegen'd hash
+      // expressions, so the corpus is partition-independent — which the
+      // sequential fixture replica re-derives exactly. Each step is one
+      // broadcast join against the vocabulary-bounded adjacency table.
+      val edges = coocEdges(s, dir).distinct()
+      graft.graph.RandomWalks.walks(
+        edges, walksPerNode = WalksPerNode, walkLen = WalkLen, seed = WalksSeed)
+        .orderBy("start", "walk", "step")
+    }),
     "kg_span_metrics" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
       val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
@@ -585,6 +603,20 @@ object SparkEntry {
           size(slice(col("toks"), col("tok_start") + 1, lit(64))).cast("long").as("n_tok"),
           array_join(slice(col("toks"), col("tok_start") + 1, lit(64)), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_ix")
+    }),
+    "q_docs_chunk_sql" -> ((s, dir) => {
+      // the SAME chunking through the UDTF surface: graft_chunk is a
+      // custom Catalyst Generator (explode-class extension point)
+      // registered as a SQL table function, driven here via LATERAL VIEW
+      // — blank/null text generates zero rows, so no WHERE is needed.
+      // Shares q_docs_chunk's DuckDB oracle; the relational plan remains
+      // the preferred scale shape (the generator is a CodegenFallback).
+      graft.functions.Registry.registerAll(s)
+      s.read.parquet(t(dir, "documents")).createOrReplaceTempView("chunk_src_docs")
+      s.sql(
+        """SELECT doc_id, chunk_ix, tok_start, n_tok, chunk_text
+          |FROM chunk_src_docs LATERAL VIEW graft_chunk(text, 64, 48) c
+          |ORDER BY doc_id, chunk_ix""".stripMargin)
     }),
     "q_events_pivot" -> ((s, dir) => {
       // PIVOT: per-user event counts spread over the bounded event-type
@@ -1528,6 +1560,13 @@ object SparkEntry {
     "kg_negatives" ->
       s"""SELECT subj, pred, obj, neg_obj, attempt FROM ${fx("expected_negatives")}
          |ORDER BY subj, pred, obj, attempt""".stripMargin,
+    // random-walk replica: the sequential fixture re-derives the walks
+    // with the same draw kernel over the gold-derived co-occurrence
+    // adjacency — equality proves the distributed broadcast-join steps
+    // are partition-independent
+    "kg_random_walks" ->
+      s"""SELECT start, walk, step, node FROM ${fx("expected_walks")}
+         |ORDER BY start, walk, step""".stripMargin,
     // wedge-census replica: per-(subj,pred) counts paired (never edges),
     // C(c,2) within a predicate, c_a·c_b across; sums CAST-pinned to
     // BIGINT (DuckDB sum(BIGINT) is HUGEINT — the r3 rollup trap)
@@ -2055,6 +2094,16 @@ object SparkEntry {
     // chunking replica: same whitespace regex, same 1-based 64-wide
     // slices at stride 48 (DuckDB list slices clamp like Spark's slice)
     "q_docs_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS tok_start FROM t)
+        |SELECT doc_id, tok_start // 48 AS chunk_ix, tok_start,
+        |  len(toks[tok_start + 1 : tok_start + 64]) AS n_tok,
+        |  array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+    // identical semantics through the graft_chunk UDTF → same replica
+    "q_docs_chunk_sql" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |  FROM documents WHERE length(trim(text)) > 0),

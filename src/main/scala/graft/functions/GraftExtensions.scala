@@ -28,6 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // backward as-of join); fires only on that node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
+      FunctionIdentifier("graft_chunk"),
+      new ExpressionInfo(
+        classOf[ChunkText].getName,
+        null,
+        "graft_chunk",
+        "_FUNC_(text, width, stride) - table-generating chunker: one row " +
+          "(chunk_ix, tok_start, n_tok, chunk_text) per width-token window at " +
+          "the given stride over whitespace tokens; width/stride must be integer literals",
+        ""),
+      { (exprs: Seq[Expression]) =>
+        require(exprs.length == 3, s"graft_chunk takes (text, width, stride), got ${exprs.length} args")
+        ChunkText(exprs(0), ChunkText.litInt(exprs(1), "width"), ChunkText.litInt(exprs(2), "stride"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(
         classOf[VecDot].getName,

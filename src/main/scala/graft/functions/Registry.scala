@@ -55,5 +55,6 @@ object Registry {
     LanguageId.register(spark)
     HllDistinct.register(spark)
     SketchFunctions.register(spark)
+    ChunkText.register(spark)
   }
 }
