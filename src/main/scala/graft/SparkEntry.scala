@@ -343,6 +343,37 @@ object SparkEntry {
         edges, walksPerNode = WalksPerNode, walkLen = WalkLen, seed = WalksSeed)
         .orderBy("start", "walk", "step")
     }),
+    "bio_source_roundtrip" -> ((s, dir) => {
+      // DSv2 connector end-to-end under the driver gate: gold sentences
+      // → DISTRIBUTED BIO text write (one blank-line-delimited block per
+      // row; multiple part files) → spark.read.format("bio") with byte-
+      // range splits small enough to land mid-sentence → per-tag counts.
+      // The oracle re-derives the counts from the gold_tags fixture, so
+      // a split-boundary bug (lost/duplicated sentence) is a hard
+      // mismatch. Temp dir is per-SF and overwritten each run.
+      import s.implicits._
+      val (g, _) = goldAndDocs(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bio_dsv2_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      DocsGen.goldSentences(g)
+        .map(ts => ts.chars.zip(ts.tags).map { case (c, t) => s"$c $t" }.mkString("\n") + "\n")
+        .write.mode("overwrite").text(tmp)
+      s.read.format("bio").option("maxSplitBytes", "4096").load(tmp)
+        .select(explode(col("tags")).as("tag"))
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+        .orderBy("tag")
+    }),
+    "kg_skipgram_pairs" -> ((s, dir) => {
+      // skip-gram training pairs from the walk corpus (window 2): the
+      // self-join key is the walk id, so per-key fan-out is bounded by
+      // the walk length — never by graph size or node degree. The oracle
+      // re-derives the pairs in pure SQL from the walks fixture.
+      val edges = coocEdges(s, dir).distinct()
+      val w = graft.graph.RandomWalks.walks(
+        edges, walksPerNode = WalksPerNode, walkLen = WalkLen, seed = WalksSeed)
+      graft.graph.RandomWalks.skipGramPairs(w, window = 2)
+        .orderBy("center", "context")
+    }),
     "kg_span_metrics" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
       val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
@@ -1567,6 +1598,20 @@ object SparkEntry {
     "kg_random_walks" ->
       s"""SELECT start, walk, step, node FROM ${fx("expected_walks")}
          |ORDER BY start, walk, step""".stripMargin,
+    // DSv2 roundtrip replica: the gold tag multiset, independent of the
+    // write/read path under test (a split-boundary bug shows as a count drift)
+    "bio_source_roundtrip" ->
+      s"""SELECT tag, count(*) AS n FROM ${fx("gold_tags")}
+         |GROUP BY tag ORDER BY tag""".stripMargin,
+    // skip-gram replica: PURE SQL over the walks fixture — the pairing
+    // and multiplicity count are re-derived independently of the Spark op
+    "kg_skipgram_pairs" ->
+      s"""SELECT a.node AS center, b.node AS context, count(*) AS n
+         |FROM ${fx("expected_walks")} a
+         |JOIN ${fx("expected_walks")} b
+         |  ON a.start = b.start AND a.walk = b.walk
+         | AND abs(a.step - b.step) BETWEEN 1 AND 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // wedge-census replica: per-(subj,pred) counts paired (never edges),
     // C(c,2) within a predicate, c_a·c_b across; sums CAST-pinned to
     // BIGINT (DuckDB sum(BIGINT) is HUGEINT — the r3 rollup trap)

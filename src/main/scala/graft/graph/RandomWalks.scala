@@ -84,4 +84,29 @@ object RandomWalks {
     }
     acc
   }
+
+  /** Skip-gram training pairs from a walk corpus — the step between
+    * [[walks]] and embedding training in a DeepWalk/node2vec pipeline:
+    * every (center, context) node pair whose positions within one walk
+    * differ by 1..`window`, with corpus-wide multiplicity `n`.
+    *
+    * Scale shape: one self-equi-join on the (start, walk) walk id — the
+    * per-key group is `walkLen + 1` rows, so the join fan-out per walk is
+    * bounded by (walkLen+1)·2·window regardless of graph size — then a
+    * partial-agg groupBy on the vocabulary-bounded (center, context)
+    * domain. Nothing quadratic in corpus size, no window functions.
+    *
+    * @param walks (start, walk, step, node) from [[walks]]
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val a = walks.select(
+      col("start"), col("walk"), col("step").as("step_c"), col("node").as("center"))
+    val b = walks.select(
+      col("start"), col("walk"), col("step").as("step_x"), col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .filter(abs(col("step_c") - col("step_x")).between(1, window))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
 }

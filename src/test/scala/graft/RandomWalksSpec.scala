@@ -88,4 +88,24 @@ class RandomWalksSpec extends AnyFunSuite {
     }
     assert(got == localWalks(es, 4, 3, 3L, maxDegree = 4).sortBy(x => (x._1, x._2, x._3)))
   }
+
+  test("skipGramPairs matches a local sliding-window count; pairs never cross walks") {
+    import spark.implicits._
+    // two walks with a shared node so cross-walk leakage would be visible
+    val walkRows = Seq(
+      ("s1", 0, 0, "a"), ("s1", 0, 1, "b"), ("s1", 0, 2, "c"), ("s1", 0, 3, "a"),
+      ("s2", 0, 0, "c"), ("s2", 0, 1, "a"), ("s2", 0, 2, "c"))
+    val got = RandomWalks.skipGramPairs(walkRows.toDF("start", "walk", "step", "node"), window = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = walkRows.groupBy(x => (x._1, x._2)).values.flatMap { walk =>
+      val byStep = walk.sortBy(_._3)
+      for {
+        c <- byStep; x <- byStep
+        d = math.abs(c._3 - x._3) if d >= 1 && d <= 2
+      } yield (c._4, x._4)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(got == expected)
+    // symmetric by construction
+    got.foreach { case ((c, x), n) => assert(got((x, c)) == n) }
+  }
 }
