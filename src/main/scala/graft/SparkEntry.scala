@@ -344,20 +344,20 @@ object SparkEntry {
         .orderBy("start", "walk", "step")
     }),
     "bio_source_roundtrip" -> ((s, dir) => {
-      // DSv2 connector end-to-end under the driver gate: gold sentences
-      // → DISTRIBUTED BIO text write (one blank-line-delimited block per
-      // row; multiple part files) → spark.read.format("bio") with byte-
-      // range splits small enough to land mid-sentence → per-tag counts.
-      // The oracle re-derives the counts from the gold_tags fixture, so
-      // a split-boundary bug (lost/duplicated sentence) is a hard
-      // mismatch. Temp dir is per-SF and overwritten each run.
-      import s.implicits._
+      // DSv2 connector end-to-end under the driver gate, BOTH directions
+      // through the connector: gold sentences → distributed
+      // format("bio") WRITE (multi-part, blank-line-delimited blocks) →
+      // format("bio") READ with byte-range splits small enough to land
+      // mid-sentence → per-tag counts. The oracle re-derives the counts
+      // from the gold_tags fixture, so a split-boundary or writer bug
+      // (lost/duplicated sentence) is a hard mismatch. Temp dir is
+      // per-SF and truncated each run.
       val (g, _) = goldAndDocs(s, dir)
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bio_dsv2_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      DocsGen.goldSentences(g)
-        .map(ts => ts.chars.zip(ts.tags).map { case (c, t) => s"$c $t" }.mkString("\n") + "\n")
-        .write.mode("overwrite").text(tmp)
+      DocsGen.goldSentences(g).toDF()
+        .select(col("chars"), col("tags"))
+        .write.format("bio").mode("overwrite").save(tmp)
       s.read.format("bio").option("maxSplitBytes", "4096").load(tmp)
         .select(explode(col("tags")).as("tag"))
         .groupBy("tag").agg(count(lit(1)).as("n"))

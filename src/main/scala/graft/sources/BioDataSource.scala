@@ -12,9 +12,10 @@ import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,11 +51,17 @@ class BioDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     BioTable.Schema
 
+  // writes validate the incoming frame against the table schema; letting
+  // the frame's own schema flow through here means a (chars, tags)-only
+  // frame writes without a dummy doc_id column (the format has no id
+  // field — ids regenerate from byte offsets on read)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new BioTable(properties.asScala.toMap)
+    new BioTable(schema, properties.asScala.toMap)
 }
 
 object BioTable {
@@ -67,19 +74,27 @@ object BioTable {
     StructField("tags", ArrayType(StringType, containsNull = false), nullable = false)))
 }
 
-class BioTable(properties: Map[String, String]) extends Table with SupportsRead {
+class BioTable(tableSchema: StructType, properties: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"bio(${properties.getOrElse("path", "?")})"
-  override def schema(): StructType = BioTable.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).orElse(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("bio source requires a path"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BioScanBuilder(
-      Option(options.get("path")).orElse(properties.get("path"))
-        .getOrElse(throw new IllegalArgumentException("bio source requires a path")),
+      pathOf(options),
       Option(options.get("idPrefix")).orElse(properties.get("idPrefix")).getOrElse("bio"),
       Option(options.get("maxSplitBytes")).orElse(properties.get("maxSplitBytes"))
         .map(_.toLong).getOrElse(128L * 1024 * 1024))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BioWriteBuilder(pathOf(info.options()), info.schema(), info.queryId())
 }
 
 class BioScanBuilder(path: String, idPrefix: String, maxSplitBytes: Long)
@@ -186,4 +201,131 @@ class BioPartitionReader(
   override def get(): InternalRow = row
 
   override def close(): Unit = reader.close()
+}
+
+/** Write side of the connector (S7, the BIO sink, as a first-class
+  * DSv2 write path): each task streams its partition's sentences into
+  * one `part-%05d` file as blank-line-delimited `char<sp>tag` blocks —
+  * byte-compatible with the read side and with the reference's dump
+  * format. The input frame must carry `chars` and `tags` array columns
+  * (any extra columns, e.g. `doc_id`, are ignored — the format has no
+  * id field; ids regenerate from byte offsets on read).
+  *
+  * Commit protocol: tasks write to dot-prefixed temp names (invisible to
+  * the read side's hidden-file filter) and rename to the canonical part
+  * name on task commit, refusing an already-installed target — the
+  * fencing discipline of `tables/Icebergish`: of two racing attempts,
+  * one installs its file and the other fails visibly; job commit drops a
+  * `_SUCCESS` marker, abort sweeps temps.
+  */
+class BioWriteBuilder(path: String, schema: StructType, queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = BioBatchWrite(path, schema, queryId, doTruncate)
+  }
+}
+
+case class BioTaskCommit(file: String) extends WriterCommitMessage
+
+case class BioBatchWrite(path: String, schema: StructType, queryId: String, truncate: Boolean)
+    extends BatchWrite {
+
+  private def requiredIdx(name: String): Int = {
+    val i = schema.fieldIndex(name)
+    schema(i).dataType match {
+      case ArrayType(StringType, _) => i
+      case other => throw new IllegalArgumentException(
+        s"bio write column '$name' must be array<string>, got $other")
+    }
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val charsIdx = requiredIdx("chars")
+    val tagsIdx = requiredIdx("tags")
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    BioWriterFactory(path, queryId, charsIdx, tagsIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, "_SUCCESS")
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    fs.create(p, true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    if (fs.exists(p))
+      fs.listStatus(p).filter(_.getPath.getName.startsWith(".bio-tmp-"))
+        .foreach(f => fs.delete(f.getPath, false))
+  }
+}
+
+case class BioWriterFactory(path: String, queryId: String, charsIdx: Int, tagsIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BioDataWriter(path, queryId, partitionId, taskId, charsIdx, tagsIdx)
+}
+
+class BioDataWriter(
+    path: String,
+    queryId: String,
+    partitionId: Int,
+    taskId: Long,
+    charsIdx: Int,
+    tagsIdx: Int) extends DataWriter[InternalRow] {
+
+  private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+  private val tmpPath = new Path(path, f".bio-tmp-$queryId-$partitionId%05d-$taskId")
+  // queryId (job-unique) in the canonical name: appends from separate
+  // jobs never collide, while racing attempts of ONE partition in one
+  // job still contend on the same target (the fence below)
+  private val finalPath = new Path(path, f"part-$queryId-$partitionId%05d.bio")
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmpPath, true), "UTF-8"), 1 << 16)
+
+  override def write(record: InternalRow): Unit = {
+    val chars = record.getArray(charsIdx)
+    val tags = record.getArray(tagsIdx)
+    require(chars.numElements() == tags.numElements(),
+      s"chars/tags length mismatch: ${chars.numElements()} vs ${tags.numElements()}")
+    var i = 0
+    val n = chars.numElements()
+    while (i < n) {
+      out.write(chars.getUTF8String(i).toString)
+      out.write(' ')
+      out.write(tags.getUTF8String(i).toString)
+      out.write('\n')
+      i += 1
+    }
+    if (n > 0) out.write('\n') // blank line closes the sentence block
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    // install via rename: atomic no-overwrite on HDFS-like filesystems;
+    // the local FS follows POSIX rename (overwrites), so an explicit
+    // exists check fences the common case there — of two racing
+    // attempts, one surfaces the failure instead of clobbering
+    if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) {
+      fs.delete(tmpPath, false)
+      throw new java.io.IOException(
+        s"bio write: another attempt already committed $finalPath")
+    }
+    BioTaskCommit(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }

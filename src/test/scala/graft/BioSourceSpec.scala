@@ -91,6 +91,49 @@ class BioSourceSpec extends AnyFunSuite {
     assert(v2.exceptAll(rdd).isEmpty && rdd.exceptAll(v2).isEmpty)
   }
 
+  test("write path: connector write → connector read roundtrips the sentence multiset") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_write").toString
+    val sentences = Seq(
+      (Seq("患", "者"), Seq("B-Diseases", "I-Diseases")),
+      (Seq("头", "部", "正"), Seq("B-Anatomical", "I-Anatomical", "O")),
+      (Seq("血"), Seq("B-Laboratory")))
+    sentences.toDF("chars", "tags").repartition(2)
+      .write.format("bio").mode("overwrite").save(dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+    val back = spark.read.format("bio").load(dir)
+      .select("chars", "tags").collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1))).toSeq
+    assert(back.sortBy(_._1.mkString) == sentences.sortBy(_._1.mkString))
+  }
+
+  test("write path: overwrite truncates, append accumulates across jobs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_modes").toString
+    def one(tag: String) = Seq((Seq("x"), Seq(tag))).toDF("chars", "tags")
+    one("B-A").write.format("bio").mode("overwrite").save(dir)
+    one("B-B").write.format("bio").mode("append").save(dir)
+    val tags = spark.read.format("bio").load(dir)
+      .select("tags").collect().map(_.getSeq[String](0).head).toSet
+    assert(tags == Set("B-A", "B-B"))
+    one("B-C").write.format("bio").mode("overwrite").save(dir)
+    val after = spark.read.format("bio").load(dir)
+      .select("tags").collect().map(_.getSeq[String](0).head).toSet
+    assert(after == Set("B-C"))
+  }
+
+  test("write path rejects frames without array<string> chars/tags columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_badschema").toString
+    val e = intercept[Exception] {
+      Seq(("a", "B-X")).toDF("chars", "tags")
+        .write.format("bio").mode("overwrite").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("array<string>")))
+  }
+
   test("directory input reads every part file and skips _SUCCESS-style markers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bio_src_dir").toString
