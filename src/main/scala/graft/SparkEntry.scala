@@ -374,6 +374,18 @@ object SparkEntry {
       graft.graph.RandomWalks.skipGramPairs(w, window = 2)
         .orderBy("center", "context")
     }),
+    "kg_skipgram_export" -> ((s, dir) => {
+      // the full DeepWalk training-set pipeline in ONE plan: co-occurrence
+      // graph → seeded walks → skip-gram pairs → dense int-id export
+      // (broadcast re-coding, same scheme as kg_embedding_export). The
+      // oracle re-derives every stage in SQL from the walks fixture.
+      val edges = coocEdges(s, dir).distinct()
+      val w = graft.graph.RandomWalks.walks(
+        edges, walksPerNode = WalksPerNode, walkLen = WalkLen, seed = WalksSeed)
+      graft.graph.KgExport.skipGramExport(
+        graft.graph.RandomWalks.skipGramPairs(w, window = 2))
+        .orderBy("c", "x")
+    }),
     "kg_span_metrics" -> ((s, dir) => {
       val (g, docs) = goldAndDocs(s, dir)
       val pred = KgPipeline.detectMentions(docs, DocsGen.vocabEntries)
@@ -1612,6 +1624,25 @@ object SparkEntry {
          |  ON a.start = b.start AND a.walk = b.walk
          | AND abs(a.step - b.step) BETWEEN 1 AND 2
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // export replica: pairs + dense ids by sorted node (row_number - 1
+    // over the pair-side union), re-coded by joins — every stage in SQL
+    "kg_skipgram_export" ->
+      s"""WITH pairs AS (
+         |  SELECT a.node AS center, b.node AS context, count(*) AS n
+         |  FROM ${fx("expected_walks")} a
+         |  JOIN ${fx("expected_walks")} b
+         |    ON a.start = b.start AND a.walk = b.walk
+         |   AND abs(a.step - b.step) BETWEEN 1 AND 2
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT node, row_number() OVER (ORDER BY node) - 1 AS ent_id
+         |  FROM (SELECT center AS node FROM pairs
+         |        UNION SELECT context FROM pairs))
+         |SELECT vc.ent_id AS c, vx.ent_id AS x, p.n
+         |FROM pairs p
+         |JOIN v vc ON p.center = vc.node
+         |JOIN v vx ON p.context = vx.node
+         |ORDER BY c, x""".stripMargin,
     // wedge-census replica: per-(subj,pred) counts paired (never edges),
     // C(c,2) within a predicate, c_a·c_b across; sums CAST-pinned to
     // BIGINT (DuckDB sum(BIGINT) is HUGEINT — the r3 rollup trap)

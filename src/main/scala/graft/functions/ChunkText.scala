@@ -42,10 +42,17 @@ case class ChunkText(child: Expression, width: Int, stride: Int)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val txt = v.asInstanceOf[UTF8String].toString.trim
+      // Spark-faithful tokenization, NOT java.lang.String defaults: the
+      // relational formulation (and the shared DuckDB oracle) computes
+      // split(trim(text), '\s+') where Spark's trim strips SPACES only
+      // (String.trim would also strip tabs/newlines) and Spark's split
+      // uses limit -1 (String.split(re) drops trailing empty tokens).
+      // Matching both keeps the two paths identical on hostile inputs
+      // (leading/trailing control whitespace), not just on clean corpora.
+      val txt = ChunkText.spaceTrim(v.asInstanceOf[UTF8String].toString)
       if (txt.isEmpty) Iterator.empty
       else {
-        val toks = txt.split("\\s+")
+        val toks = ChunkText.Whitespace.split(txt, -1)
         Iterator.range(0, toks.length, stride).map { ts =>
           val n = math.min(width, toks.length - ts)
           InternalRow(
@@ -63,6 +70,17 @@ case class ChunkText(child: Expression, width: Int, stride: Int)
 }
 
 object ChunkText {
+
+  private[functions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark `trim` semantics: strip leading/trailing SPACE (0x20) only. */
+  private[functions] def spaceTrim(s: String): String = {
+    var from = 0
+    var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    s.substring(from, until)
+  }
 
   /** Column API (pair with `select(..., explode-style)` via Dataset SQL;
     * generators are consumed by LATERAL VIEW / SELECT-list generation).

@@ -46,6 +46,24 @@ object KgExport {
   def relationVocab(triples: DataFrame): DataFrame =
     denseIds(triples.select(col("pred").as("relation")), "relation", "rel_id")
 
+  /** Skip-gram training pairs re-coded to dense int ids — the export
+    * format a DeepWalk/node2vec trainer consumes: (c, x, n) int-id rows
+    * with ids assigned by sorted node name over the union of both pair
+    * sides (same deterministic scheme as [[embeddingExport]]). The
+    * data-sized pair table is re-coded through two broadcast joins of
+    * the vocabulary-bounded id table — never shuffled for the export.
+    */
+  def skipGramExport(pairs: DataFrame): DataFrame = {
+    val vocab = denseIds(
+      pairs.select(col("center").as("entity"))
+        .union(pairs.select(col("context").as("entity"))),
+      "entity", "ent_id")
+    pairs
+      .join(broadcast(vocab.select(col("entity").as("center"), col("ent_id").as("c"))), "center")
+      .join(broadcast(vocab.select(col("entity").as("context"), col("ent_id").as("x"))), "context")
+      .select("c", "x", "n")
+  }
+
   /** The distinct triple set re-coded as (h, r, t) ints. */
   def embeddingExport(triples: DataFrame): DataFrame = {
     val ents = entityVocab(triples)

@@ -67,6 +67,38 @@ class ChunkTextSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("generator equals the relational formulation on hostile whitespace inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Registry.registerAll(spark)
+    // randomized strings over an alphabet with spaces, tabs, newlines —
+    // exercising leading/trailing control whitespace, where Spark's
+    // trim (spaces only) and split limit -1 (keeps trailing empties)
+    // differ from java.lang.String defaults
+    val rnd = new scala.util.Random(41)
+    val alphabet = "ab \t\n"
+    val docs = (0 until 200).map { i =>
+      (f"d$i%03d", (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq(("dLT", "\talpha beta"), ("dTT", "alpha beta\n"), ("dSP", "  x  "), ("dCT", "\t"))
+    val df = docs.toDF("doc_id", "text")
+    df.createOrReplaceTempView("chunk_prop_probe")
+    val relational = df.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(3))).as("tok_start"))
+      .select(col("doc_id"),
+        (col("tok_start") / 3).cast("long").as("chunk_ix"),
+        col("tok_start").cast("long").as("tok_start"),
+        size(slice(col("toks"), col("tok_start") + 1, lit(4))).cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("tok_start") + 1, lit(4)), " ").as("chunk_text"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val viaUdtf = spark.sql(
+      """SELECT doc_id, chunk_ix, tok_start, n_tok, chunk_text
+        |FROM chunk_prop_probe LATERAL VIEW graft_chunk(text, 4, 3) c""".stripMargin)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(viaUdtf == relational)
+  }
+
   test("column API builds the same generator expression") {
     val c = ChunkText.graft_chunk(org.apache.spark.sql.functions.col("text"), 64, 48)
     val expr = org.apache.spark.sql.GraftSqlBridge.expression(c)
