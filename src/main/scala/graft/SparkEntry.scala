@@ -145,6 +145,26 @@ object SparkEntry {
       .select(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
   }
 
+  /** Support-sparsified co-occurrence pairs: keep pairs co-occurring in
+    * ≥1.5% of mention-bearing docs — SF-RELATIVE (the sparsification
+    * carries across scales) and integer-exact (n·1000 ≥ 15·n_docs). The
+    * full synthetic co-occurrence graph is COMPLETE (every concept pair
+    * co-occurs somewhere), so structure-sensitive analytics (k-core,
+    * Adamic-Adar) run here. The one driver-side value is the scalar doc
+    * count — aggregate-bounded, same class as Mixture's totals.
+    */
+  private def sparsifiedCoocEdges(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = perDocConcepts(s, dir)
+    val nDocs = perDoc.select(countDistinct(col("doc_id"))).head().getLong(0)
+    perDoc.as("a")
+      .join(perDoc.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
+      .groupBy(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * 1000L >= lit(15L) * nDocs)
+      .select("src", "dst")
+  }
+
   /** Weighted bi-directed co-occurrence edges for the SSSP query: per
     * canonical concept pair, the number of co-occurring docs `n`, turned
     * into an integer cost w = max(1, 6 − min(n, 5)) (strong edges are
@@ -287,21 +307,10 @@ object SparkEntry {
         .orderBy("node")
     }),
     "kg_kcore" -> ((s, dir) => {
-      // k-core of the support-sparsified co-occurrence graph: keep pairs
-      // co-occurring in ≥1.5% of mention-bearing docs (SF-RELATIVE, so
-      // the sparsification carries across scales; the comparison is
-      // integer-exact: n·1000 ≥ 15·n_docs), then 3 peeling rounds at
-      // k=5. The one driver-side value is the scalar doc count —
-      // aggregate-bounded, same class as Mixture's per-source totals.
-      val perDoc = perDocConcepts(s, dir)
-      val nDocs = perDoc.select(countDistinct(col("doc_id"))).head().getLong(0)
-      val pairs = perDoc.as("a")
-        .join(perDoc.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.concept_id") < col("b.concept_id"))
-        .groupBy(col("a.concept_id").as("src"), col("b.concept_id").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") * 1000L >= lit(15L) * nDocs)
-      graft.graph.GraphOps.kCore(pairs, k = 5L, rounds = 3, "src", "dst")
+      // k-core of the support-sparsified co-occurrence graph (see
+      // sparsifiedCoocEdges), 3 peeling rounds at k=5.
+      graft.graph.GraphOps.kCore(
+        sparsifiedCoocEdges(s, dir), k = 5L, rounds = 3, "src", "dst")
         .orderBy("node")
     }),
     "kg_embedding_export" -> ((s, dir) => {
@@ -373,6 +382,25 @@ object SparkEntry {
         edges, walksPerNode = WalksPerNode, walkLen = WalkLen, seed = WalksSeed)
       graft.graph.RandomWalks.skipGramPairs(w, window = 2)
         .orderBy("center", "context")
+    }),
+    "kg_cooc_pmi" -> ((s, dir) => {
+      // PMI / lift edge weighting of the co-occurrence graph: lift is
+      // two IEEE multiplications + one division on exact long counts in
+      // a pinned operand order (bit-identical cross-engine); pmi = ln
+      // rounded to 6 (pagerank precedent). Counts are partial-agg
+      // groupBys; per-item counts and the doc total broadcast back.
+      graft.graph.GraphOps.pmiWeights(perDocConcepts(s, dir))
+        .orderBy("a", "b")
+    }),
+    "kg_adamic_adar" -> ((s, dir) => {
+      // Adamic-Adar link prediction over the SPARSIFIED co-occurrence
+      // graph (the full synthetic graph is complete → structureless):
+      // wedges generate at shared neighbors with 2 <= deg <= 12 — the
+      // cap BINDS (sparsified degrees run 1..23) and is replicated
+      // verbatim in the oracle, so the compare stays exact.
+      graft.graph.GraphOps.adamicAdar(
+        sparsifiedCoocEdges(s, dir), maxDegree = 12L, "src", "dst")
+        .orderBy("a", "b")
     }),
     "kg_skipgram_export" -> ((s, dir) => {
       // the full DeepWalk training-set pipeline in ONE plan: co-occurrence
@@ -1624,6 +1652,54 @@ object SparkEntry {
          |  ON a.start = b.start AND a.walk = b.walk
          | AND abs(a.step - b.step) BETWEEN 1 AND 2
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // PMI replica: exact long counts; lift re-derived with the IDENTICAL
+    // pinned operand order (n_ab·N then n_a·n_b then one division — all
+    // correctly-rounded IEEE ops, so lift is bit-identical); ln absorbed
+    // by round 6
+    "kg_cooc_pmi" ->
+      s"""WITH $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id AS doc, l.concept_id AS item
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |nd AS (SELECT count(DISTINCT doc) AS n_docs FROM m),
+         |ic AS (SELECT item, count(*) AS n_i FROM m GROUP BY 1),
+         |p AS (SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+         |      FROM m x JOIN m y ON x.doc = y.doc AND x.item < y.item
+         |      GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.n_ab,
+         |  (CAST(p.n_ab AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
+         |    / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift,
+         |  round(ln((CAST(p.n_ab AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
+         |    / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))), 6) AS pmi
+         |FROM p
+         |JOIN ic ia ON p.a = ia.item
+         |JOIN ic ib ON p.b = ib.item
+         |CROSS JOIN nd
+         |ORDER BY a, b""".stripMargin,
+    // Adamic-Adar replica over the SAME sparsified edge set as kg_kcore
+    // (the full graph is complete → no structure to predict): same 2..12
+    // degree window (binds — sparsified degrees run 1..23), same 1/ln
+    // weights, wedge join at the shared neighbor; the float SUM is
+    // order-sensitive → round 6 on both engines
+    "kg_adamic_adar" ->
+      s"""WITH $lexCte,
+         |m AS (SELECT DISTINCT g.doc_id, l.concept_id
+         |      FROM ${fx("gold_mentions")} g
+         |      JOIN lex l ON g.text = l.surface AND g.entity_type = l.entity_type),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM m),
+         |p AS (SELECT a.concept_id AS src, b.concept_id AS dst, count(*) AS n
+         |      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.concept_id < b.concept_id
+         |      GROUP BY 1, 2),
+         |e AS (SELECT src, dst FROM p WHERE n * 1000 >= 15 * (SELECT n_docs FROM nd)),
+         |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |dg AS (SELECT src, count(*) AS d FROM bi GROUP BY 1),
+         |w AS (SELECT bi.src AS z, bi.dst AS nbr,
+         |        1.0 / ln(CAST(dg.d AS DOUBLE)) AS w
+         |      FROM bi JOIN dg ON bi.src = dg.src
+         |      WHERE dg.d BETWEEN 2 AND 12)
+         |SELECT wp.nbr AS a, wq.nbr AS b, round(sum(wp.w), 6) AS aa
+         |FROM w wp JOIN w wq ON wp.z = wq.z AND wp.nbr < wq.nbr
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     // export replica: pairs + dense ids by sorted node (row_number - 1
     // over the pair-side union), re-coded by joins — every stage in SQL
     "kg_skipgram_export" ->

@@ -438,4 +438,76 @@ object GraphOps {
     bi.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
   }
+
+  /** PMI / lift weighting of the co-occurrence graph — the statistical
+    * edge-strength measure that separates informative concept pairs from
+    * pairs that merely ride on two frequent concepts:
+    * `lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` and
+    * `pmi = ln(lift)` (rounded to 6 — the pagerank precedent for
+    * absorbing sub-ulp ln differences across engines; the lift itself is
+    * two IEEE multiplications and one division on exact long counts in a
+    * PINNED operand order, so it is bit-identical cross-engine).
+    *
+    * Scale shape: all counts are partial-agg groupBys; the per-item
+    * count and doc-total tables are vocabulary-bounded/scalar and join
+    * back by BROADCAST, so the pair table never reshuffles. Products are
+    * computed in double (long·long would overflow at corpus scale).
+    *
+    * @param perDoc distinct (doc, item) membership rows
+    * @return (a, b, n_ab, lift, pmi) for canonical pairs a < b
+    */
+  def pmiWeights(
+      perDoc: DataFrame,
+      docCol: String = "doc_id",
+      itemCol: String = "concept_id"): DataFrame = {
+    val m = perDoc.select(col(docCol).as("doc"), col(itemCol).as("item")).distinct()
+    val totals = m.agg(countDistinct(col("doc")).as("n_docs"))
+    val itemCounts = m.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = m.as("x")
+      .join(m.as("y"), col("x.doc") === col("y.doc") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val lift =
+      (col("n_ab").cast("double") * col("n_docs").cast("double")) /
+        (col("n_a").cast("double") * col("n_b").cast("double"))
+    pairs
+      .join(broadcast(itemCounts.select(col("item").as("a"), col("n_i").as("n_a"))), "a")
+      .join(broadcast(itemCounts.select(col("item").as("b"), col("n_i").as("n_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        lift.as("lift"), round(log(lift), 6).as("pmi"))
+  }
+
+  /** Adamic-Adar link-prediction scores: for each non-ordered candidate
+    * pair (a, b), `sum over shared neighbors z of 1/ln(deg(z))` —
+    * common-neighbor counting that discounts promiscuous hubs. Wedges
+    * generate at the shared neighbor, and only neighbors with
+    * `2 <= deg(z) <= maxDegree` generate (deg 1 cannot be shared;
+    * ln(1) = 0 would divide by zero; the cap is the same hub guard as
+    * [[neighborJaccard]] — a hub's wedge fan-out is quadratic in its
+    * degree, and its per-wedge contribution `1/ln(deg)` is the smallest,
+    * so capping trades the least signal for the bound). Scores are
+    * rounded to 6 (absorbs double-sum association order across engines).
+    *
+    * Each stage is edge-sized: one degree groupBy, one equi-join to
+    * attach weights, one self-join at the (degree-capped) neighbor, one
+    * partial-agg sum.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      maxDegree: Long,
+      srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    val bi = undirected(edges, srcCol, dstCol)
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("d"))
+    val weighted = bi
+      .join(deg.filter(col("d").between(2L, maxDegree)), "src")
+      .select(col("src").as("z"), col("dst").as("nbr"),
+        (lit(1.0) / log(col("d").cast("double"))).as("w"))
+    weighted.as("p")
+      .join(weighted.as("q"),
+        col("p.z") === col("q.z") && col("p.nbr") < col("q.nbr"))
+      .groupBy(col("p.nbr").as("a"), col("q.nbr").as("b"))
+      .agg(round(sum(col("p.w")), 6).as("aa"))
+  }
 }

@@ -466,4 +466,68 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect()
     assert(after4.isEmpty)
   }
+
+  test("pmiWeights matches exact sequential counts and pinned-order IEEE lift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val member = (0 until 400).map(_ => (s"d${rnd.nextInt(40)}", s"c${rnd.nextInt(8)}")).distinct
+    val got = GraphOps.pmiWeights(member.toDF("doc_id", "concept_id"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val nDocs = member.map(_._1).distinct.size
+    val ni = member.groupBy(_._2).map { case (c, xs) => c -> xs.size }
+    val expected = member.groupBy(_._1).values.flatMap { ms =>
+      val cs = ms.map(_._2).distinct
+      for (a <- cs; b <- cs if a < b) yield (a, b)
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val nAb = xs.size.toLong
+      val lift = (nAb.toDouble * nDocs.toDouble) / (ni(a).toDouble * ni(b).toDouble)
+      (a, b) -> ((nAb, lift, BigDecimal(math.log(lift))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, lift, pmi)) =>
+      val (en, elift, epmi) = expected(k)
+      assert(n == en && lift == elift, s"$k: exact lift mismatch") // bit-identical
+      assert(math.abs(pmi - epmi) < 2e-6, s"$k: pmi $pmi vs $epmi")
+    }
+    // sanity: a pair of rare always-together concepts outranks hub pairs
+    val perfect = GraphOps.pmiWeights(
+      (Seq(("d1", "x"), ("d1", "y")) ++ (1 to 20).map(i => (s"d$i", "hub")) ++
+        (1 to 20).map(i => (s"d$i", s"f$i"))).toDF("doc_id", "concept_id"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(perfect(("x", "y")) > perfect.getOrElse(("f1", "hub"), Double.MinValue))
+  }
+
+  test("adamicAdar matches a brute-force reference and the degree cap excludes hubs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val es = (0 until 220).map(_ => (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+    val cap = 12L
+    val got = GraphOps.adamicAdar(es.toDF("src", "dst"), maxDegree = cap, "src", "dst")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // brute reference with the same eligibility window
+    val bi = es.filter(e => e._1 != e._2).flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val adj = bi.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val deg = adj.map { case (n, xs) => n -> xs.size.toLong }
+    val expected = scala.collection.mutable.Map.empty[(String, String), Double]
+    for ((z, nbrs) <- adj if deg(z) >= 2 && deg(z) <= cap) {
+      val sorted = nbrs.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
+        val k = (sorted(i), sorted(j))
+        expected(k) = expected.getOrElse(k, 0.0) + 1.0 / math.log(deg(z).toDouble)
+      }
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 2e-6, s"$k: $v") }
+    // hub exclusion: a star hub above the cap generates no wedges
+    val star = (1 to 15).map(i => ("hub", s"l$i")) :+ (("l1", "l2"))
+    val aa = GraphOps.adamicAdar(star.toDF("src", "dst"), maxDegree = 10L, "src", "dst")
+      .collect()
+    // the only eligible shared neighbors are l1/l2 (deg 2); hub (deg 15)
+    // generates NO wedges, so no leaf-leaf pair appears
+    val pairs = aa.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("hub", "l2"), ("hub", "l1")))
+  }
 }
