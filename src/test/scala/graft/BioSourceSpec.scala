@@ -134,6 +134,30 @@ class BioSourceSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("array<string>")))
   }
 
+  test("write path: a failed job leaves committed data intact and no torn part files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_abort").toString
+    Seq((Seq("a"), Seq("B-X"))).toDF("chars", "tags")
+      .write.format("bio").mode("overwrite").save(dir)
+    // failing append: a task throws mid-write
+    val boom = udf((s: Seq[String]) => {
+      if (s.nonEmpty) throw new RuntimeException("boom"); s
+    })
+    intercept[Exception] {
+      Seq((Seq("b"), Seq("B-Y"))).toDF("chars", "tags")
+        .select(boom(col("chars")).as("chars"), col("tags"))
+        .write.format("bio").mode("append").save(dir)
+    }
+    // original data still reads back; no part file from the failed job
+    val tags = spark.read.format("bio").load(dir)
+      .select("tags").collect().map(_.getSeq[String](0).head).toSet
+    assert(tags == Set("B-X"))
+    val committed = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(committed.length == 1, s"unexpected part files: ${committed.mkString(",")}")
+  }
+
   test("directory input reads every part file and skips _SUCCESS-style markers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bio_src_dir").toString
