@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
@@ -80,7 +81,8 @@ class BioTable(tableSchema: StructType, properties: Map[String, String]) extends
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).orElse(properties.get("path"))
@@ -110,6 +112,39 @@ class BioScanBuilder(path: String, idPrefix: String, maxSplitBytes: Long)
 case class BioInputPartition(file: String, start: Long, length: Long)
   extends InputPartition
 
+private[sources] object BioFiles {
+
+  /** Stable data files under `path` (a file or a directory): hidden
+    * (`_`/`.`-prefixed) and zero-length entries excluded, sorted by path.
+    */
+  def list(path: String): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    val files: Seq[FileStatus] = {
+      val status = fs.getFileStatus(p)
+      if (status.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq(status)
+    }
+    files
+      .filterNot { f =>
+        val n = f.getPath.getName
+        n.startsWith("_") || n.startsWith(".") || f.getLen == 0
+      }
+      .sortBy(_.getPath.toString)
+  }
+
+  /** Byte-range partitions of `maxSplitBytes` over each file. */
+  def split(files: Seq[FileStatus], maxSplitBytes: Long): Array[InputPartition] = {
+    require(maxSplitBytes > 0, "maxSplitBytes must be positive")
+    files.flatMap { f =>
+      (0L until f.getLen by maxSplitBytes).map { off =>
+        BioInputPartition(
+          f.getPath.toString, off, math.min(maxSplitBytes, f.getLen - off))
+      }
+    }.toArray
+  }
+}
+
 case class BioScan(
     path: String,
     idPrefix: String,
@@ -121,34 +156,79 @@ case class BioScan(
   override def description(): String =
     s"BioScan path=$path cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    require(maxSplitBytes > 0, "maxSplitBytes must be positive")
-    val conf = new Configuration()
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, conf)
-    val files: Seq[FileStatus] = {
-      val status = fs.getFileStatus(p)
-      if (status.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile)
-      else Seq(status)
+  override def planInputPartitions(): Array[InputPartition] =
+    BioFiles.split(BioFiles.list(path), maxSplitBytes)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    BioReaderFactory(idPrefix, required.fieldNames.toIndexedSeq)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BioMicroBatchStream(path, idPrefix, maxSplitBytes, required)
+}
+
+/** Offset of the streaming bio source: the SET of data-file names
+  * processed so far, serialized as a sorted JSON array. This is the
+  * semantic content Spark's own FileStreamSource tracks (its seen-files
+  * map, persisted via the compacted metadata log); carrying it in the
+  * offset keeps this source self-contained — at a 100 TB file census
+  * the production move is the same state behind a compacting log, not a
+  * different algorithm.
+  */
+case class BioOffset(files: Set[String]) extends Offset {
+  override def json(): String =
+    files.toSeq.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object BioOffset {
+  def fromJson(json: String): BioOffset = {
+    // the offset is a flat JSON string array (we wrote it); parse without
+    // a JSON dependency: strip brackets, split on "," between quotes
+    val trimmed = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (trimmed.isEmpty) BioOffset(Set.empty)
+    else BioOffset(
+      trimmed.split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")).toSet)
+  }
+}
+
+/** Micro-batch streaming read: each batch is the set of files that
+  * appeared since the last committed offset (file-arrival semantics, the
+  * same contract as Spark's file stream source), split into the same
+  * byte-range partitions as the batch scan — a newly landed 10 GB BIO
+  * dump fans out across the cluster instead of pinning one task. Files
+  * are assumed immutable once visible (the write side's temp-then-rename
+  * protocol guarantees exactly that for connector-written data).
+  */
+class BioMicroBatchStream(
+    path: String,
+    idPrefix: String,
+    maxSplitBytes: Long,
+    required: StructType) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = BioOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    BioOffset(BioFiles.list(path).map(_.getPath.toString).toSet)
+
+  override def deserializeOffset(json: String): Offset = BioOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[BioOffset].files
+    val now = end.asInstanceOf[BioOffset].files
+    val fresh = BioFiles.list(path).filter { f =>
+      val n = f.getPath.toString
+      now.contains(n) && !seen.contains(n)
     }
-    files
-      .filterNot { f =>
-        val n = f.getPath.getName
-        n.startsWith("_") || n.startsWith(".") || f.getLen == 0
-      }
-      .sortBy(_.getPath.toString)
-      .flatMap { f =>
-        (0L until f.getLen by maxSplitBytes).map { off =>
-          BioInputPartition(
-            f.getPath.toString, off, math.min(maxSplitBytes, f.getLen - off))
-        }
-      }
-      .toArray
+    BioFiles.split(fresh, maxSplitBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     BioReaderFactory(idPrefix, required.fieldNames.toIndexedSeq)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 case class BioReaderFactory(idPrefix: String, fields: IndexedSeq[String])

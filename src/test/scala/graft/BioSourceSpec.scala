@@ -158,6 +158,40 @@ class BioSourceSpec extends AnyFunSuite {
     assert(committed.length == 1, s"unexpected part files: ${committed.mkString(",")}")
   }
 
+  test("streaming read: files are consumed exactly once across restarts (AvailableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("bio_src_stream").toString
+    val ckpt = Files.createTempDirectory("bio_src_stream_ckpt").toString
+    val outDir = Files.createTempDirectory("bio_src_stream_out").toString
+    def addFile(name: String, body: String): Unit =
+      Files.write(Paths.get(dir, name), body.getBytes(StandardCharsets.UTF_8))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("bio").load(dir)
+        .selectExpr("doc_id", "chars", "tags")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    addFile("f1.txt", "a B-X\nb O\n")
+    runOnce()
+    def collected() = spark.read.parquet(outDir)
+      .select("chars", "tags").collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1))).toSeq
+    assert(collected().toSet == Set((Seq("a", "b"), Seq("B-X", "O"))))
+    // a new file lands; restart from the checkpoint → ONLY the new file
+    // is read (the old one is in the committed offset)
+    addFile("f2.txt", "c B-Y\n")
+    runOnce()
+    val all = collected()
+    assert(all.size == 2, s"expected exactly-once across restarts, got $all")
+    assert(all.toSet == Set(
+      (Seq("a", "b"), Seq("B-X", "O")), (Seq("c"), Seq("B-Y"))))
+    // no new files → an idle restart emits nothing
+    runOnce()
+    assert(collected().size == 2)
+  }
+
   test("directory input reads every part file and skips _SUCCESS-style markers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bio_src_dir").toString
