@@ -27,6 +27,25 @@ object Streaming {
     *   bounding it yields steady bounded-size batches, each one an
     *   idempotent snapshot commit in [[kgStream]].
     */
+  /** Streaming docs from a BIO corpus directory through the DSv2 `bio`
+    * connector ([[graft.sources.BioDataSource]]): each micro-batch is
+    * the newly arrived BIO files, parsed at byte-range granularity and
+    * packed into the docs-table shape (one text span per sentence — the
+    * same conversion as `BioCorpus.toDocs`), so the incremental KG
+    * pipeline ([[kgStream]]) consumes a live BIO dump feed directly.
+    */
+  def bioDocsStream(spark: SparkSession, path: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.readStream.format("bio").load(path)
+      .select(col("doc_id"),
+        array(struct(
+          lit("text").as("kind"),
+          concat_ws("", col("chars")).as("text"),
+          lit("").as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+      .as[Doc]
+  }
+
   def docsStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): Dataset[Doc] = {
     import spark.implicits._
     val reader = spark.readStream

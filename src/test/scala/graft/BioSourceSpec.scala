@@ -192,6 +192,44 @@ class BioSourceSpec extends AnyFunSuite {
     assert(collected().size == 2)
   }
 
+  test("streaming KG construction from a live BIO feed equals the batch pipeline") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("bio_kg_stream").toString
+    val outRoot = Files.createTempDirectory("bio_kg_out").toString + "/triples"
+    val ckpt = Files.createTempDirectory("bio_kg_ckpt").toString
+    val lex = graft.data.Lexicon.fromSurfaces(graft.data.DocsGen.vocabEntries.toDS()).cache()
+    def tripleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "doc_id")
+        .as[(String, String, String, String)].collect().toSet
+
+    // stage wave 1 as BIO files THROUGH the connector write, from gold docs
+    val g1 = graft.data.DocsGen.gen(spark, 50, seed = 33)
+    graft.data.DocsGen.goldSentences(g1).toDF()
+      .select("chars", "tags").write.format("bio").mode("overwrite").save(srcDir)
+    graft.streaming.Streaming.kgStream(
+      graft.streaming.Streaming.bioDocsStream(spark, srcDir), lex, outRoot, ckpt)
+      .awaitTermination()
+    // batch replica over the SAME files via the RDD reader (ids match the
+    // connector's byte-offset scheme, so triples compare doc-for-doc)
+    val batchDocs = graft.data.BioCorpus.toDocs(graft.data.BioCorpus.read(spark, srcDir))
+    val expected = tripleSet(graft.pipeline.KgPipeline.run(batchDocs, lex).toDF())
+    assert(expected.nonEmpty)
+    assert(tripleSet(graft.tables.Icebergish.read(spark, outRoot)) == expected)
+
+    // wave 2 lands as a NEW BIO file; restart processes only it
+    val g2 = graft.data.DocsGen.gen(spark, 30, seed = 34)
+    graft.data.DocsGen.goldSentences(g2).toDF()
+      .select("chars", "tags").coalesce(1).write.format("bio").mode("append").save(srcDir)
+    graft.streaming.Streaming.kgStream(
+      graft.streaming.Streaming.bioDocsStream(spark, srcDir), lex, outRoot, ckpt)
+      .awaitTermination()
+    val batchAll = tripleSet(graft.pipeline.KgPipeline.run(
+      graft.data.BioCorpus.toDocs(graft.data.BioCorpus.read(spark, srcDir)), lex).toDF())
+    assert(tripleSet(graft.tables.Icebergish.read(spark, outRoot)) == batchAll)
+    assert(batchAll.size > expected.size)
+    lex.unpersist()
+  }
+
   test("directory input reads every part file and skips _SUCCESS-style markers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bio_src_dir").toString
