@@ -53,6 +53,20 @@ object SparkEntry {
     */
   private def fx(name: String) = s"read_parquet('{OUT}/_fixtures/$name.parquet/*.parquet')"
 
+  /** ONE chunking replica shared verbatim by `q_docs_chunk` (relational
+    * plan) and `q_docs_chunk_sql` (graft_chunk UDTF) — the "shared
+    * oracle" claim is a single binding, not a copy that could drift.
+    */
+  private val chunkOracleSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS tok_start FROM t)
+      |SELECT doc_id, tok_start // 48 AS chunk_ix, tok_start,
+      |  len(toks[tok_start + 1 : tok_start + 64]) AS n_tok,
+      |  array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
+
   /** Lexicon concept-id assignment re-derived in SQL — same total order
     * (entity_type, surface) and C%07d format as `Lexicon.fromSurfaces`.
     */
@@ -2245,25 +2259,10 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // chunking replica: same whitespace regex, same 1-based 64-wide
     // slices at stride 48 (DuckDB list slices clamp like Spark's slice)
-    "q_docs_chunk" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS tok_start FROM t)
-        |SELECT doc_id, tok_start // 48 AS chunk_ix, tok_start,
-        |  len(toks[tok_start + 1 : tok_start + 64]) AS n_tok,
-        |  array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
-    // identical semantics through the graft_chunk UDTF → same replica
-    "q_docs_chunk_sql" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS tok_start FROM t)
-        |SELECT doc_id, tok_start // 48 AS chunk_ix, tok_start,
-        |  len(toks[tok_start + 1 : tok_start + 64]) AS n_tok,
-        |  array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+    "q_docs_chunk" -> chunkOracleSql,
+    // identical semantics through the graft_chunk UDTF → the SAME replica
+    // value (one binding — the two paths cannot silently diverge)
+    "q_docs_chunk_sql" -> chunkOracleSql,
     "q_docs_pack" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, n_chars AS n_tokens, doc_id // 64 AS pack_block,

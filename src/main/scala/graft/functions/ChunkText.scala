@@ -94,13 +94,19 @@ object ChunkText {
       s"graft_chunk $what must be an integer literal, got $other")
   }
 
+  /** The single function builder shared by the session Registry and the
+    * extension injection — one place owns the argument contract.
+    */
+  def build(exprs: Seq[Expression]): ChunkText = {
+    require(exprs.length == 3,
+      s"graft_chunk takes (text, width, stride), got ${exprs.length} args")
+    ChunkText(exprs(0), litInt(exprs(1), "width"), litInt(exprs(2), "stride"))
+  }
+
   /** Register as a SQL table-generating function; `width` and `stride`
     * must be integer literals (plan-time constants baked into the
     * generator).
     */
   def register(spark: SparkSession): Unit =
-    GraftSqlBridge.registerFunction(spark, "graft_chunk", { exprs =>
-      require(exprs.length == 3, s"graft_chunk takes (text, width, stride), got ${exprs.length} args")
-      ChunkText(exprs(0), litInt(exprs(1), "width"), litInt(exprs(2), "stride"))
-    })
+    GraftSqlBridge.registerFunction(spark, "graft_chunk", build)
 }

@@ -37,10 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(chunk_ix, tok_start, n_tok, chunk_text) per width-token window at " +
           "the given stride over whitespace tokens; width/stride must be integer literals",
         ""),
-      { (exprs: Seq[Expression]) =>
-        require(exprs.length == 3, s"graft_chunk takes (text, width, stride), got ${exprs.length} args")
-        ChunkText(exprs(0), ChunkText.litInt(exprs(1), "width"), ChunkText.litInt(exprs(2), "stride"))
-      }))
+      (exprs: Seq[Expression]) => ChunkText.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

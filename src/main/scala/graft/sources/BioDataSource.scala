@@ -10,6 +10,7 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.hadoop.mapreduce.TaskAttemptID
 import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -116,10 +117,14 @@ private[sources] object BioFiles {
 
   /** Stable data files under `path` (a file or a directory): hidden
     * (`_`/`.`-prefixed) and zero-length entries excluded, sorted by path.
+    * Driver-side callers pass the SESSION Hadoop configuration so
+    * `spark.hadoop.*` settings (object-store credentials, fs.defaultFS)
+    * reach the filesystem — same as every other FS touchpoint in the
+    * codebase.
     */
-  def list(path: String): Seq[FileStatus] = {
+  def list(path: String, conf: Configuration): Seq[FileStatus] = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
     val files: Seq[FileStatus] = {
       val status = fs.getFileStatus(p)
       if (status.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
@@ -157,10 +162,11 @@ case class BioScan(
     s"BioScan path=$path cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    BioFiles.split(BioFiles.list(path), maxSplitBytes)
+    BioFiles.split(BioFiles.list(path, GraftSqlBridge.activeHadoopConf()), maxSplitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BioReaderFactory(idPrefix, required.fieldNames.toIndexedSeq)
+    BioReaderFactory(idPrefix, required.fieldNames.toIndexedSeq,
+      GraftSqlBridge.serializableHadoopConf())
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BioMicroBatchStream(path, idPrefix, maxSplitBytes, required)
@@ -209,14 +215,15 @@ class BioMicroBatchStream(
   override def initialOffset(): Offset = BioOffset(Set.empty)
 
   override def latestOffset(): Offset =
-    BioOffset(BioFiles.list(path).map(_.getPath.toString).toSet)
+    BioOffset(BioFiles.list(path, GraftSqlBridge.activeHadoopConf())
+      .map(_.getPath.toString).toSet)
 
   override def deserializeOffset(json: String): Offset = BioOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[BioOffset].files
     val now = end.asInstanceOf[BioOffset].files
-    val fresh = BioFiles.list(path).filter { f =>
+    val fresh = BioFiles.list(path, GraftSqlBridge.activeHadoopConf()).filter { f =>
       val n = f.getPath.toString
       now.contains(n) && !seen.contains(n)
     }
@@ -224,18 +231,22 @@ class BioMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BioReaderFactory(idPrefix, required.fieldNames.toIndexedSeq)
+    BioReaderFactory(idPrefix, required.fieldNames.toIndexedSeq,
+      GraftSqlBridge.serializableHadoopConf())
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }
 
-case class BioReaderFactory(idPrefix: String, fields: IndexedSeq[String])
+case class BioReaderFactory(
+    idPrefix: String,
+    fields: IndexedSeq[String],
+    conf: java.io.Serializable)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val bp = partition.asInstanceOf[BioInputPartition]
-    new BioPartitionReader(bp, idPrefix, fields)
+    new BioPartitionReader(bp, idPrefix, fields, GraftSqlBridge.unwrapHadoopConf(conf))
   }
 }
 
@@ -249,11 +260,11 @@ case class BioReaderFactory(idPrefix: String, fields: IndexedSeq[String])
 class BioPartitionReader(
     partition: BioInputPartition,
     idPrefix: String,
-    fields: IndexedSeq[String]) extends PartitionReader[InternalRow] {
+    fields: IndexedSeq[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val reader = new LineRecordReader("\n\n".getBytes("UTF-8"))
   locally {
-    val conf = new Configuration()
     val split = new FileSplit(
       new Path(partition.file), partition.start, partition.length, Array.empty[String])
     reader.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
@@ -295,8 +306,13 @@ class BioPartitionReader(
   * the read side's hidden-file filter) and rename to the canonical part
   * name on task commit, refusing an already-installed target — the
   * fencing discipline of `tables/Icebergish`: of two racing attempts,
-  * one installs its file and the other fails visibly; job commit drops a
-  * `_SUCCESS` marker, abort sweeps temps.
+  * one installs its file and the other fails visibly. Overwrite
+  * (truncate) is NON-destructive until job commit: new parts carry
+  * queryId-unique names, the pre-existing data files are deleted only
+  * inside `commit()` (then `_SUCCESS` is dropped), so a failed overwrite
+  * leaves the old dataset intact. Job abort removes THIS job's installed
+  * part files (from the task commit messages) and its queryId-scoped
+  * temps — other jobs' in-flight files are untouched.
   */
 class BioWriteBuilder(path: String, schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
@@ -314,6 +330,10 @@ case class BioTaskCommit(file: String) extends WriterCommitMessage
 case class BioBatchWrite(path: String, schema: StructType, queryId: String, truncate: Boolean)
     extends BatchWrite {
 
+  // data files present before this job started — deleted at job COMMIT
+  // in truncate mode (never earlier, so a failed overwrite keeps them)
+  @volatile private var preExisting: Seq[Path] = Seq.empty
+
   private def requiredIdx(name: String): Int = {
     val i = schema.fieldIndex(name)
     schema(i).dataType match {
@@ -327,31 +347,48 @@ case class BioBatchWrite(path: String, schema: StructType, queryId: String, trun
     val charsIdx = requiredIdx("chars")
     val tagsIdx = requiredIdx("tags")
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
-    if (truncate && fs.exists(p)) fs.delete(p, true)
+    val fs = FileSystem.get(p.toUri, GraftSqlBridge.activeHadoopConf())
     fs.mkdirs(p)
-    BioWriterFactory(path, queryId, charsIdx, tagsIdx)
+    if (truncate) preExisting = BioFiles.list(path, GraftSqlBridge.activeHadoopConf())
+      .map(_.getPath)
+    BioWriterFactory(path, queryId, charsIdx, tagsIdx,
+      GraftSqlBridge.serializableHadoopConf())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path, "_SUCCESS")
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, GraftSqlBridge.activeHadoopConf())
+    if (truncate) preExisting.foreach(f => fs.delete(f, false))
     fs.create(p, true).close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
-    if (fs.exists(p))
-      fs.listStatus(p).filter(_.getPath.getName.startsWith(".bio-tmp-"))
+    val fs = FileSystem.get(p.toUri, GraftSqlBridge.activeHadoopConf())
+    if (fs.exists(p)) {
+      // roll back THIS job's installed parts (committed tasks of the
+      // failed job, named in the commit messages) ...
+      messages.collect { case BioTaskCommit(f) => new Path(f) }
+        .foreach(f => fs.delete(f, false))
+      // ... and sweep this job's temps only — a concurrent job's
+      // in-flight temps carry a different queryId and are untouched
+      fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith(s".bio-tmp-$queryId"))
         .foreach(f => fs.delete(f.getPath, false))
+    }
   }
 }
 
-case class BioWriterFactory(path: String, queryId: String, charsIdx: Int, tagsIdx: Int)
+case class BioWriterFactory(
+    path: String,
+    queryId: String,
+    charsIdx: Int,
+    tagsIdx: Int,
+    conf: java.io.Serializable)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BioDataWriter(path, queryId, partitionId, taskId, charsIdx, tagsIdx)
+    new BioDataWriter(path, queryId, partitionId, taskId, charsIdx, tagsIdx,
+      GraftSqlBridge.unwrapHadoopConf(conf))
 }
 
 class BioDataWriter(
@@ -360,9 +397,10 @@ class BioDataWriter(
     partitionId: Int,
     taskId: Long,
     charsIdx: Int,
-    tagsIdx: Int) extends DataWriter[InternalRow] {
+    tagsIdx: Int,
+    conf: Configuration) extends DataWriter[InternalRow] {
 
-  private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+  private val fs = FileSystem.get(new Path(path).toUri, conf)
   private val tmpPath = new Path(path, f".bio-tmp-$queryId-$partitionId%05d-$taskId")
   // queryId (job-unique) in the canonical name: appends from separate
   // jobs never collide, while racing attempts of ONE partition in one
@@ -371,17 +409,32 @@ class BioDataWriter(
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmpPath, true), "UTF-8"), 1 << 16)
 
+  /** A written token must survive the read side's `(?U)\s+` field split
+    * unchanged: null or whitespace-containing tokens would silently
+    * corrupt block framing (the line parses to ≠2 fields and is dropped),
+    * so they are rejected loudly here instead.
+    */
+  private def checkToken(s: UTF8String, what: String): String = {
+    require(s != null, s"bio write: null $what element")
+    val t = s.toString
+    require(t.nonEmpty && !BioDataWriter.Ws.matcher(t).find(),
+      s"bio write: $what token ${if (t.isEmpty) "is empty" else s"'$t' contains whitespace"}" +
+        " — it would not survive the BIO line format's field split")
+    t
+  }
+
   override def write(record: InternalRow): Unit = {
     val chars = record.getArray(charsIdx)
     val tags = record.getArray(tagsIdx)
+    require(chars != null && tags != null, "bio write: null chars/tags array")
     require(chars.numElements() == tags.numElements(),
       s"chars/tags length mismatch: ${chars.numElements()} vs ${tags.numElements()}")
     var i = 0
     val n = chars.numElements()
     while (i < n) {
-      out.write(chars.getUTF8String(i).toString)
+      out.write(checkToken(chars.getUTF8String(i), "chars"))
       out.write(' ')
-      out.write(tags.getUTF8String(i).toString)
+      out.write(checkToken(tags.getUTF8String(i), "tags"))
       out.write('\n')
       i += 1
     }
@@ -408,4 +461,9 @@ class BioDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+object BioDataWriter {
+  /** Same unicode whitespace class as `BioCorpus.parseBlock`'s splitter. */
+  private val Ws = java.util.regex.Pattern.compile("(?U)\\s")
 }

@@ -29,6 +29,24 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** The session's Hadoop configuration wrapped for task-side shipping
+    * (`SerializableConfiguration` is `private[spark]`); pair with
+    * [[unwrapHadoopConf]] on the executor. Falls back to defaults when no
+    * session is active (e.g. driver-side unit construction).
+    */
+  def serializableHadoopConf(): java.io.Serializable =
+    new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  def unwrapHadoopConf(c: java.io.Serializable): org.apache.hadoop.conf.Configuration =
+    c.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+
+  /** The active session's Hadoop configuration (driver side). */
+  def activeHadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Register a function builder under a name in the session registry. */
   def registerFunction(
       spark: SparkSession,

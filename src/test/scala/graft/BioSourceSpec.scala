@@ -158,6 +158,65 @@ class BioSourceSpec extends AnyFunSuite {
     assert(committed.length == 1, s"unexpected part files: ${committed.mkString(",")}")
   }
 
+  test("write path: a FAILED OVERWRITE keeps the previous dataset intact (truncate at commit, not before)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_failover").toString
+    Seq((Seq("a"), Seq("B-X")), (Seq("b"), Seq("B-Y"))).toDF("chars", "tags")
+      .write.format("bio").mode("overwrite").save(dir)
+    val boom = udf((s: Seq[String]) => {
+      Thread.sleep(1500) // let any sibling task commit first — the abort must roll it back
+      throw new RuntimeException("boom"); s
+    })
+    intercept[Exception] {
+      Seq((Seq("c"), Seq("B-Z"))).toDF("chars", "tags")
+        .select(boom(col("chars")).as("chars"), col("tags"))
+        .write.format("bio").mode("overwrite").save(dir)
+    }
+    val tags = spark.read.format("bio").load(dir)
+      .select("tags").collect().map(_.getSeq[String](0).head).toSet
+    assert(tags == Set("B-X", "B-Y"), s"old dataset lost: $tags")
+  }
+
+  test("write path: abort rolls back the failed job's committed part files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_rollback").toString
+    Seq((Seq("a"), Seq("B-X"))).toDF("chars", "tags")
+      .write.format("bio").mode("overwrite").save(dir)
+    // 2-partition append: partition with "ok" commits fast; the "boom"
+    // partition sleeps then fails, so the job aborts AFTER a task commit
+    val ok = Seq((Seq("ok"), Seq("B-K"))).toDF("chars", "tags").coalesce(1)
+    val slowBoom = udf((s: Seq[String]) => {
+      Thread.sleep(2000); throw new RuntimeException("boom"); s
+    })
+    val bad = Seq((Seq("c"), Seq("B-Z"))).toDF("chars", "tags").coalesce(1)
+      .select(slowBoom(col("chars")).as("chars"), col("tags"))
+    intercept[Exception] {
+      ok.unionAll(bad).write.format("bio").mode("append").save(dir)
+    }
+    val tags = spark.read.format("bio").load(dir)
+      .select("tags").collect().map(_.getSeq[String](0).head).toSet
+    assert(tags == Set("B-X"), s"failed job's partial output is visible: $tags")
+  }
+
+  test("write path rejects whitespace-containing and null tokens (framing corruption guard)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bio_src_badtok").toString
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e1 = intercept[Exception] {
+      Seq((Seq("a b"), Seq("O"))).toDF("chars", "tags")
+        .write.format("bio").mode("overwrite").save(dir)
+    }
+    assert(messages(e1).exists(_.contains("whitespace")))
+    val e2 = intercept[Exception] {
+      Seq((Seq("a", null), Seq("O", "O"))).toDF("chars", "tags")
+        .write.format("bio").mode("overwrite").save(dir)
+    }
+    assert(messages(e2).exists(_.contains("null")))
+  }
+
   test("streaming read: files are consumed exactly once across restarts (AvailableNow)") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("bio_src_stream").toString
