@@ -187,14 +187,32 @@ case class BioOffset(files: Set[String]) extends Offset {
 }
 
 object BioOffset {
+  /** Parse the flat JSON string array `json()` emits. A character scan
+    * honoring backslash escapes, NOT a delimiter split — a filename
+    * containing `","` would fool any quote-splitting regex (caught by
+    * the hostile-filename round-trip property test). The writer only
+    * escapes `\` and `"`, so unescaping is "take the next char verbatim".
+    */
   def fromJson(json: String): BioOffset = {
-    // the offset is a flat JSON string array (we wrote it); parse without
-    // a JSON dependency: strip brackets, split on "," between quotes
-    val trimmed = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (trimmed.isEmpty) BioOffset(Set.empty)
-    else BioOffset(
-      trimmed.split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\")).toSet)
+    val out = Set.newBuilder[String]
+    var i = 0
+    val n = json.length
+    while (i < n) {
+      if (json.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done && i < n) {
+          json.charAt(i) match {
+            case '\\' if i + 1 < n => sb.append(json.charAt(i + 1)); i += 2
+            case '"' => done = true; i += 1
+            case c => sb.append(c); i += 1
+          }
+        }
+        out += sb.toString
+      } else i += 1
+    }
+    BioOffset(out.result())
   }
 }
 

@@ -289,6 +289,28 @@ class BioSourceSpec extends AnyFunSuite {
     lex.unpersist()
   }
 
+  test("streaming offset JSON round-trips hostile filenames") {
+    import graft.sources.BioOffset
+    val hostile = Set(
+      "/tmp/dir/plain.txt",
+      "/tmp/dir/with space.txt",
+      "/tmp/dir/qu\"ote.txt",
+      "/tmp/dir/back\\slash.txt",
+      "/tmp/dir/com,ma.txt",
+      "/tmp/dir/uni-码.txt")
+    assert(BioOffset.fromJson(BioOffset(hostile).json()) == BioOffset(hostile))
+    assert(BioOffset.fromJson(BioOffset(Set.empty[String]).json()).files.isEmpty)
+    // randomized round-trip over a nasty alphabet
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab\"\\, /."
+    for (_ <- 0 until 200) {
+      val files = (0 until rnd.nextInt(5)).map { i =>
+        s"f$i-" + (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.toSet
+      assert(BioOffset.fromJson(BioOffset(files).json()) == BioOffset(files), files.toString)
+    }
+  }
+
   test("directory input reads every part file and skips _SUCCESS-style markers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bio_src_dir").toString
