@@ -386,6 +386,33 @@ object SparkEntry {
         .groupBy("tag").agg(count(lit(1)).as("n"))
         .orderBy("tag")
     }),
+    "streaming_bio_tags" -> ((s, dir) => {
+      // the bio connector's STREAMING surface under the driver gate:
+      // gold sentences staged as BIO via the connector WRITE, consumed
+      // back through readStream.format("bio") (AvailableNow, 4 KiB
+      // byte-range splits → hundreds of mid-sentence boundaries inside
+      // one micro-batch), rows landed in a memory sink, then the per-tag
+      // counts compared against the gold_tags fixture — a lost or
+      // duplicated sentence anywhere in the streaming path is a hard
+      // mismatch. Deterministic: all files arrive in the one trigger.
+      val (g, _) = goldAndDocs(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bio_stream_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      DocsGen.goldSentences(g).toDF()
+        .select(col("chars"), col("tags"))
+        .write.format("bio").mode("overwrite").save(tmp)
+      val name = "graft_bio_stream_" + java.lang.Long.toHexString(System.nanoTime())
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bio_ckpt_").toString
+      val q = s.readStream.format("bio").option("maxSplitBytes", "4096").load(tmp)
+        .select(explode(col("tags")).as("tag"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("tag").agg(count(lit(1)).as("n")).orderBy("tag")
+    }),
     "kg_skipgram_pairs" -> ((s, dir) => {
       // skip-gram training pairs from the walk corpus (window 2): the
       // self-join key is the walk id, so per-key fan-out is bounded by
@@ -1655,6 +1682,10 @@ object SparkEntry {
     // DSv2 roundtrip replica: the gold tag multiset, independent of the
     // write/read path under test (a split-boundary bug shows as a count drift)
     "bio_source_roundtrip" ->
+      s"""SELECT tag, count(*) AS n FROM ${fx("gold_tags")}
+         |GROUP BY tag ORDER BY tag""".stripMargin,
+    // same gold multiset for the STREAMING surface of the connector
+    "streaming_bio_tags" ->
       s"""SELECT tag, count(*) AS n FROM ${fx("gold_tags")}
          |GROUP BY tag ORDER BY tag""".stripMargin,
     // skip-gram replica: PURE SQL over the walks fixture — the pairing
