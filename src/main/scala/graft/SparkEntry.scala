@@ -1144,17 +1144,22 @@ object SparkEntry {
         rangeUs = 300L * 1000000L)
         .orderBy("event_id")
     }),
-    "q_events_band_join_auto" -> ((s, dir) => {
+    "q_events_band_join_auto" -> ((s0, dir) => {
       // the band-join OPTIMIZER RULE, driver-checked: this is a plain
       // declarative interval join — no manual bucketing anywhere in the
       // query — that Spark would plan as BroadcastNestedLoopJoin
       // (O(errors × events): ~1e9 comparisons at sf0.1). The injected
       // BandJoinRewrite turns it into the bucketed hash equi-join at
-      // plan time; the rule is conf-gated and output-preserving, so
-      // installing it session-wide is safe by construction
+      // plan time. The rule + its arming conf live in an ISOLATED child
+      // session (newSession: own SQLConf + experimental methods, shared
+      // SparkContext), so no later query in the caller's session runs
+      // with the rewrite armed; the returned DataFrame stays bound to the
+      // child session, so the rewrite still fires when the driver writes
+      // it. (conf.set-then-unset can't scope this: optimization happens
+      // at the caller's action, after this closure returned.)
+      val s = s0.newSession()
       val rule = graft.plans.BandJoinRewrite(s)
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandJoinRewrite]))
-        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
       s.conf.set(rule.ConfKey, (240L * 1000000L).toString)
       val e = s.read.parquet(t(dir, "events"))
       val all = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"))

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions.col
   * sharing (key, ts) must be pre-deduplicated by the caller for a
   * deterministic match (same contract as the window form).
   *
+  * NULL semantics match SQL ASOF JOIN (and the DuckDB oracle): NULL
+  * never matches. A right row with a null key component or null ts is
+  * never a match candidate; a left row with a null key component or
+  * null ts gets null value columns. (Without this, natural ascending
+  * orderings would sort nulls first and silently pair null with null.)
+  *
   * Why a physical operator when the window form already scales: the
   * window shape pays union overhead (right rows widened to the left
   * schema with null payloads), sorts LEFT+RIGHT TOGETHER in one buffer,
@@ -203,27 +209,40 @@ case class AsOfJoinExec(
         lIter.map { l =>
           val lKey = lKeyProj(l)
           val lTsRow = lTsProj(l)
-          var done = false
-          while (!done) {
-            if (pending == null && rIter.hasNext) pending = rIter.next().copy()
-            if (pending == null) done = true
-            else {
-              val c = keyOrd.compare(rKeyProj(pending), lKey)
-              if (c < 0) {
-                // right key strictly before every remaining left row's:
-                // its matches are behind us — drop it
-                pending = null
-              } else if (c == 0 && tsOrd.compare(rTsProj(pending), lTsRow) <= 0) {
-                matchRow = pending // later rows at the same key overwrite
-                pending = null
-              } else done = true
+          val rv = if (lKey.anyNull || lTsRow.isNullAt(0)) {
+            // SQL ASOF: a null key component or null ts never matches.
+            // Null-key/ts left rows sort first, so skipping the merge
+            // here cannot desynchronize the forward pass.
+            nullVals
+          } else {
+            var done = false
+            while (!done) {
+              if (pending == null && rIter.hasNext) pending = rIter.next().copy()
+              if (pending == null) done = true
+              else {
+                val pKey = rKeyProj(pending)
+                if (pKey.anyNull || rTsProj(pending).isNullAt(0)) {
+                  // null key/ts right rows are never match candidates;
+                  // they sort first, so dropping them preserves order
+                  pending = null
+                } else {
+                  val c = keyOrd.compare(pKey, lKey)
+                  if (c < 0) {
+                    // right key strictly before every remaining left
+                    // row's: its matches are behind us — drop it
+                    pending = null
+                  } else if (c == 0 && tsOrd.compare(rTsProj(pending), lTsRow) <= 0) {
+                    matchRow = pending // later rows at the same key overwrite
+                    pending = null
+                  } else done = true
+                }
+              }
             }
-          }
-          // matchRow may be from a previous key — re-check key equality
-          val rv =
+            // matchRow may be from a previous key — re-check key equality
             if (matchRow != null && keyOrd.compare(rKeyProj(matchRow), lKey) == 0)
               valProj(matchRow)
             else nullVals
+          }
           resultProj(joined(l, rv))
         }
     }

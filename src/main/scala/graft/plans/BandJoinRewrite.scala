@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
@@ -32,6 +32,22 @@ import org.apache.spark.sql.types.LongType
   * matching the inner join's null-condition drop), and an inverted
   * interval (`lo > hi`) matches nothing on either path.
   *
+  * Oversized intervals are bounded, not trusted: an interval spanning
+  * ≥ `spark.graft.bandJoin.maxBuckets` buckets (default 4096) would make
+  * `sequence()` materialize a huge — at the extreme, array-cap-breaking —
+  * bucket array per build row, turning a slow-but-working BNLJ into a
+  * runtime failure. Such rows are split off into an OVERFLOW branch: the
+  * build side is partitioned by interval width into narrow (bucketed
+  * equi-join as above) and wide (a separate join on the original band
+  * predicate plus a synthetic always-true cross-side equality
+  * `pmod(point,1) = pmod(lo,1)` — it gives Spark a hash key, matches the
+  * band predicate's null-drop semantics, and marks the join so this rule
+  * never re-rewrites it), and the two branches union. Wide rows are
+  * pathological by construction (width ≥ maxBuckets × bucketSize), so the
+  * overflow join is a degenerate-key hash join over a tiny build set —
+  * and when no row is wide, AQE's empty-relation propagation erases the
+  * branch (including its probe scan) at runtime.
+  *
   * Activation: set `spark.graft.bandJoin.bucketSize` to a positive long
   * (in the unit of the band columns; e.g. microseconds for epoch-us
   * timestamps, roughly the typical interval width). Unset (the default)
@@ -39,8 +55,8 @@ import org.apache.spark.sql.types.LongType
   * holds one lower and one upper bound on the SAME integral probe-side
   * expression against build-side bounds, with no equality conjunct
   * (if an equi-key exists, Spark already hash-joins). Guarded against
-  * self-re-entry: the rewritten join carries an equality conjunct, so
-  * the shape test fails on it.
+  * self-re-entry: both rewritten joins carry an equality conjunct, so
+  * the shape test fails on them.
   *
   * Install via the library extension
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) or
@@ -50,15 +66,19 @@ case class BandJoinRewrite(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.bandJoin.bucketSize"
+  val MaxBucketsKey = "spark.graft.bandJoin.maxBuckets"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bucket =
       try session.conf.get(ConfKey, "0").toLong
       catch { case _: NumberFormatException => 0L }
+    val maxBuckets =
+      try math.max(1L, session.conf.get(MaxBucketsKey, "4096").toLong)
+      catch { case _: NumberFormatException => 4096L }
     if (bucket <= 0L) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) =>
-        rewrite(j, bucket).getOrElse(j)
+        rewrite(j, bucket, maxBuckets).getOrElse(j)
     }
   }
 
@@ -100,7 +120,7 @@ case class BandJoinRewrite(session: SparkSession)
     IntegralDivide(Subtract(xl, Pmod(xl, Literal(b))), Literal(b))
   }
 
-  private def rewrite(j: Join, bucket: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, bucket: Long, maxBuckets: Long): Option[LogicalPlan] = {
     val cond = j.condition.get
     if (!cond.deterministic) return None
     val conjuncts = splitConjunctivePredicates(cond)
@@ -123,7 +143,7 @@ case class BandJoinRewrite(session: SparkSession)
       byPoint.values.collectFirst {
         case bs if bs.exists(_.isLower) && bs.exists(!_.isLower) &&
           integral(bs.head.point) && bs.forall(b => integral(b.bound)) =>
-          build(j, bucket, bs.find(_.isLower).get, bs.find(!_.isLower).get, probeIsLeft)
+          build(j, bucket, maxBuckets, bs.find(_.isLower).get, bs.find(!_.isLower).get, probeIsLeft)
       }
     }.headOption
   }
@@ -136,20 +156,30 @@ case class BandJoinRewrite(session: SparkSession)
         (a.references.subsetOf(r) && b.references.subsetOf(l)))
   }
 
-  private def build(j: Join, bucket: Long, lower: Bound, upper: Bound, probeIsLeft: Boolean): LogicalPlan = {
+  private def build(j: Join, bucket: Long, maxBuckets: Long,
+      lower: Bound, upper: Bound, probeIsLeft: Boolean): LogicalPlan = {
     val probe = if (probeIsLeft) j.left else j.right
     val buildSide = if (probeIsLeft) j.right else j.left
+
+    val loDiv = floorDiv(lower.bound, bucket)
+    val hiDiv = floorDiv(upper.bound, bucket)
+    // Partition the build side by interval width in buckets. NULL bounds
+    // fail both filters (null predicate → drop), matching the original
+    // inner join's null-condition drop; inverted intervals (lo > hi) fail
+    // both too (width negative) and match nothing, as they should.
+    val width = Subtract(hiDiv, loDiv)
+    val narrow = Filter(
+      And(LessThanOrEqual(loDiv, hiDiv), LessThan(width, Literal(maxBuckets))),
+      buildSide)
+    val wide = Filter(GreaterThanOrEqual(width, Literal(maxBuckets)), buildSide)
 
     val bucketAlias = Alias(floorDiv(lower.point, bucket), "__band_bucket_p")()
     val probeProj = Project(probe.output :+ bucketAlias, probe)
 
     val genOut = AttributeReference("__band_bucket_b", LongType, nullable = false)()
-    // sequence(a, b, 1) THROWS when a > b — an inverted interval
-    // (lo > hi) must instead explode to nothing, like the inner join it
-    // replaces; a NULL bound also routes here (If's null-predicate →
-    // else branch), matching the original join's null-condition drop
-    val loDiv = floorDiv(lower.bound, bucket)
-    val hiDiv = floorDiv(upper.bound, bucket)
+    // sequence(a, b, 1) THROWS when a > b — the narrow filter already
+    // excludes inverted/NULL intervals, but keep the guard local so the
+    // explode stays safe under any later predicate reordering
     val seq = If(
       LessThanOrEqual(loDiv, hiDiv),
       // timeZoneId must be pinned or the TimeZoneAwareExpression stays
@@ -160,12 +190,30 @@ case class BandJoinRewrite(session: SparkSession)
         org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
     val buildGen = Generate(
       Explode(seq), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(genOut), child = buildSide)
+      qualifier = None, generatorOutput = Seq(genOut), child = narrow)
 
     val newCond = And(EqualTo(bucketAlias.toAttribute, genOut), j.condition.get)
     val newJoin =
       if (probeIsLeft) Join(probeProj, buildGen, Inner, Some(newCond), j.hint)
       else Join(buildGen, probeProj, Inner, Some(newCond), j.hint)
-    Project(j.output, newJoin)
+    val bucketed = Project(j.output, newJoin)
+
+    // Overflow branch: the original band predicate over ONLY the wide
+    // rows, plus a synthetic always-true cross-side equality on
+    // pmod(·, 1). Its roles: (a) ExtractEquiJoinKeys sees a hash key, so
+    // the branch plans as a (degenerate-key) hash join, not BNLJ/cartesian
+    // over the whole probe; (b) `hasEquiKey` sees it, so this rule never
+    // re-rewrites its own overflow join (the fixed-point loop guard);
+    // (c) pmod propagates NULL, so a null point/bound drops the row
+    // exactly as the band predicate itself would.
+    val zeroKeyL = Pmod(Cast(lower.point, LongType), Literal(1L))
+    val zeroKeyR = Pmod(Cast(lower.bound, LongType), Literal(1L))
+    val overflowCond = And(EqualTo(zeroKeyL, zeroKeyR), j.condition.get)
+    val overflowJoin =
+      if (probeIsLeft) Join(probe, wide, Inner, Some(overflowCond), j.hint)
+      else Join(wide, probe, Inner, Some(overflowCond), j.hint)
+    val overflow = Project(j.output, overflowJoin)
+
+    Union(bucketed, overflow)
   }
 }

@@ -44,6 +44,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the scan ([[SupportsPushDownRequiredColumns]]): a `doc_id`-only query
   * never materializes the char/tag arrays.
   *
+  * FRAMING CONTRACT (narrower than the reference's line reader): sentence
+  * blocks must be separated by a strictly empty LF-delimited line
+  * (`"\n\n"`). The reference's `utils.py _read_data` strips each line, so
+  * a whitespace-only separator (`" \n"`) or a CRLF blank line (`"\r\n"`)
+  * also ends a sentence there; here such lines do NOT split — the
+  * surrounding blocks parse as one merged sentence (the stray separator
+  * line itself is dropped by the ≠2-field filter). The connector is
+  * reference-exact at the LINE level only; feed it LF-only files with
+  * strictly empty separators (everything this connector's write side and
+  * [[graft.data.BioCorpus]] produce satisfies that by construction).
+  *
   * Options: `idPrefix` (doc_id = `"<prefix>-%012d" format byteOffset`,
   * default "bio"), `maxSplitBytes` (default 128 MiB).
   */
@@ -172,29 +183,43 @@ case class BioScan(
     new BioMicroBatchStream(path, idPrefix, maxSplitBytes, required)
 }
 
-/** Offset of the streaming bio source: the SET of data-file names
-  * processed so far, serialized as a sorted JSON array. This is the
-  * semantic content Spark's own FileStreamSource tracks (its seen-files
-  * map, persisted via the compacted metadata log); carrying it in the
-  * offset keeps this source self-contained — at a 100 TB file census
-  * the production move is the same state behind a compacting log, not a
-  * different algorithm.
+/** Offset of the streaming bio source: the MAP of data-file name →
+  * byte length processed so far, serialized as a sorted JSON array of
+  * `["name", length]` pairs. This is the semantic content Spark's own
+  * FileStreamSource tracks (its seen-files map, persisted via the
+  * compacted metadata log); carrying it in the offset keeps this source
+  * self-contained — at a 100 TB file census the production move is the
+  * same state behind a compacting log, not a different algorithm.
+  *
+  * Lengths ride in the offset so a committed batch REPLAYS from offset
+  * content alone: [[BioMicroBatchStream.planInputPartitions]] re-derives
+  * byte-range splits without re-listing the directory, and a file that
+  * vanished or shrank since the offset was written fails loudly instead
+  * of being silently dropped from the replayed batch (exactly-once).
+  * Length -1 marks a legacy (name-only) offset entry — splits for those
+  * fall back to a live listing at plan time.
   */
-case class BioOffset(files: Set[String]) extends Offset {
+case class BioOffset(files: Map[String, Long]) extends Offset {
   override def json(): String =
-    files.toSeq.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    files.toSeq.sortBy(_._1).map { case (f, len) =>
+      "[\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"," + len + "]"
+    }.mkString("[", ",", "]")
 }
 
 object BioOffset {
-  /** Parse the flat JSON string array `json()` emits. A character scan
-    * honoring backslash escapes, NOT a delimiter split — a filename
-    * containing `","` would fool any quote-splitting regex (caught by
-    * the hostile-filename round-trip property test). The writer only
-    * escapes `\` and `"`, so unescaping is "take the next char verbatim".
+  def ofNames(names: Set[String]): BioOffset =
+    BioOffset(names.iterator.map(_ -> -1L).toMap)
+
+  /** Parse `json()` output, accepting the legacy flat-string-array form
+    * (pre-length offsets in existing checkpoints parse as length -1).
+    * A character scan honoring backslash escapes, NOT a delimiter
+    * split — a filename containing `","` or `",123]` would fool any
+    * quote-splitting regex (caught by the hostile-filename round-trip
+    * property test). The writer only escapes `\` and `"`, so unescaping
+    * is "take the next char verbatim".
     */
   def fromJson(json: String): BioOffset = {
-    val out = Set.newBuilder[String]
+    val out = Map.newBuilder[String, Long]
     var i = 0
     val n = json.length
     while (i < n) {
@@ -209,7 +234,24 @@ object BioOffset {
             case c => sb.append(c); i += 1
           }
         }
-        out += sb.toString
+        // after the closing quote: `,<digits>]` in the pair form, `,` or
+        // `]` directly in the legacy flat form
+        var len = -1L
+        if (i < n && json.charAt(i) == ',') {
+          var j = i + 1
+          var v = 0L
+          var any = false
+          var neg = false
+          if (j < n && json.charAt(j) == '-') { neg = true; j += 1 }
+          while (j < n && json.charAt(j).isDigit) {
+            v = v * 10 + (json.charAt(j) - '0'); j += 1; any = true
+          }
+          if (any && j < n && json.charAt(j) == ']') {
+            len = if (neg) -v else v
+            i = j // leave the ']' to the outer scan
+          }
+        }
+        out += sb.toString -> len
       } else i += 1
     }
     BioOffset(out.result())
@@ -230,22 +272,48 @@ class BioMicroBatchStream(
     maxSplitBytes: Long,
     required: StructType) extends MicroBatchStream {
 
-  override def initialOffset(): Offset = BioOffset(Set.empty)
+  override def initialOffset(): Offset = BioOffset(Map.empty)
 
   override def latestOffset(): Offset =
     BioOffset(BioFiles.list(path, GraftSqlBridge.activeHadoopConf())
-      .map(_.getPath.toString).toSet)
+      .map(f => f.getPath.toString -> f.getLen).toMap)
 
   override def deserializeOffset(json: String): Offset = BioOffset.fromJson(json)
 
+  /** The batch is (end − start) BY OFFSET CONTENT: splits derive from the
+    * (name, length) pairs recorded in the end offset, never from a live
+    * directory listing, so a committed batch replayed after restart plans
+    * the exact same partitions. A directory listing is consulted only to
+    * VALIDATE: a fresh file that is absent or shorter than its recorded
+    * length (e.g. deleted by a truncate overwrite since the offset was
+    * written) fails the replay loudly — silently skipping it would break
+    * the exactly-once contract. Legacy name-only entries (length -1,
+    * from pre-length checkpoints) take their split geometry from the
+    * listing instead.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[BioOffset].files
+    val seen = start.asInstanceOf[BioOffset].files.keySet
     val now = end.asInstanceOf[BioOffset].files
-    val fresh = BioFiles.list(path, GraftSqlBridge.activeHadoopConf()).filter { f =>
-      val n = f.getPath.toString
-      now.contains(n) && !seen.contains(n)
-    }
-    BioFiles.split(fresh, maxSplitBytes)
+    val fresh = now.filter { case (n, _) => !seen.contains(n) }
+    if (fresh.isEmpty) return Array.empty
+    val listed = BioFiles.list(path, GraftSqlBridge.activeHadoopConf())
+      .map(f => f.getPath.toString -> f.getLen).toMap
+    fresh.toSeq.sortBy(_._1).flatMap { case (name, recordedLen) =>
+      val currentLen = listed.get(name)
+      val len =
+        if (recordedLen >= 0L) {
+          if (currentLen.forall(_ < recordedLen)) throw new IllegalStateException(
+            s"bio stream replay: file $name recorded at $recordedLen bytes in the " +
+              s"committed offset is ${currentLen.fold("absent")(l => s"now $l bytes")} — " +
+              "cannot replay the batch exactly-once")
+          recordedLen
+        } else currentLen.getOrElse(throw new IllegalStateException(
+          s"bio stream replay: file $name named in a legacy offset is absent — " +
+            "cannot replay the batch exactly-once"))
+      (0L until len by maxSplitBytes).map { off =>
+        BioInputPartition(name, off, math.min(maxSplitBytes, len - off))
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -388,6 +456,17 @@ case class BioBatchWrite(path: String, schema: StructType, queryId: String, trun
       // failed job, named in the commit messages) ...
       messages.collect { case BioTaskCommit(f) => new Path(f) }
         .foreach(f => fs.delete(f, false))
+      // ... plus any zombie-committed part — a task that renamed its temp
+      // to the final name but died before its commit message reached the
+      // driver is invisible to `messages`, yet its part carries this
+      // job's queryId in the canonical name, so a name sweep catches it
+      // (a failed overwrite must leave ONLY the old dataset visible) ...
+      fs.listStatus(p)
+        .filter { f =>
+          val n = f.getPath.getName
+          n.startsWith(s"part-$queryId-") && n.endsWith(".bio")
+        }
+        .foreach(f => fs.delete(f.getPath, false))
       // ... and sweep this job's temps only — a concurrent job's
       // in-flight temps carry a different queryId and are untouched
       fs.listStatus(p)

@@ -72,6 +72,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       Seq(("e1", Some(7.5))))
   }
 
+  test("SQL ASOF null semantics: null key/ts never matches on either side") {
+    import spark.implicits._
+    val l = Seq(
+      ("e1", Some("a"), Some(10L)), // normal: matches a@5
+      ("e2", None, Some(10L)),      // null key → null values, NOT the null-key right row
+      ("e3", Some("a"), None),      // null ts → null values
+      ("e4", Some("b"), Some(10L))  // its only candidate has null ts → null values
+    ).toDF("event_id", "user_id", "ts_us")
+    val r = Seq(
+      (Some("a"), Some(5L), 1.5),
+      (None: Option[String], Some(3L), 99.0), // null key: never a candidate
+      (Some("b"), None: Option[Long], 42.0)   // null ts: never a candidate
+    ).toDF("user_id", "ts_us", "pvalue")
+    assert(collectAsOf(AsOfJoin.asof(l, r, Seq("user_id"), "ts_us", Seq("pvalue"))) ==
+      Seq(("e1", Some(1.5)), ("e2", None), ("e3", None), ("e4", None)))
+  }
+
   test("self-as-of (both sides from one scan) resolves without attribute collisions") {
     import spark.implicits._
     val e = Seq(

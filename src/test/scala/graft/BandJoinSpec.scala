@@ -122,6 +122,32 @@ class BandJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervals wider than maxBuckets take the overflow branch instead of exploding") {
+    import spark.implicits._
+    val e = (0L to 1000L by 13L).map(ts => (s"e$ts", ts)).toDF("event_id", "ts")
+    // w_huge spans 1000 buckets at bucket=1 — over the maxBuckets cap:
+    // without the overflow branch the explode would materialize a
+    // 1000-element array per copy of this row (and at real widths would
+    // hit sequence()'s array cap and FAIL a working query at runtime)
+    val w = Seq(("w_narrow", 100L, 120L), ("w_huge", 0L, 1000L), ("w_inv", 50L, 10L))
+      .toDF("win_id", "lo", "hi")
+    def q = e.join(w, e("ts") >= w("lo") && e("ts") <= w("hi"))
+      .groupBy("win_id").agg(count(lit(1)).as("n"))
+    val baseline = q.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    spark.conf.set("spark.graft.bandJoin.maxBuckets", "64")
+    try withRule(bucket = 1L) {
+      val df = q
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Union"), s"overflow branch missing:\n$opt")
+      assert(opt.contains("__band_bucket"), s"bucketed branch missing:\n$opt")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"overflow branch degenerated to a nested-loop join:\n$phys")
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(got.toSeq == baseline.toSeq)
+    } finally spark.conf.unset("spark.graft.bandJoin.maxBuckets")
+  }
+
   test("GraftExtensions injects the rule into a session's optimizer rules") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)

@@ -298,17 +298,52 @@ class BioSourceSpec extends AnyFunSuite {
       "/tmp/dir/back\\slash.txt",
       "/tmp/dir/com,ma.txt",
       "/tmp/dir/uni-码.txt")
-    assert(BioOffset.fromJson(BioOffset(hostile).json()) == BioOffset(hostile))
-    assert(BioOffset.fromJson(BioOffset(Set.empty[String]).json()).files.isEmpty)
-    // randomized round-trip over a nasty alphabet
+    val hostileWithLen = hostile.zipWithIndex.map { case (f, i) => f -> (i * 1000L + 7L) }.toMap
+    assert(BioOffset.fromJson(BioOffset(hostileWithLen).json()) == BioOffset(hostileWithLen))
+    assert(BioOffset.fromJson(BioOffset(Map.empty[String, Long]).json()).files.isEmpty)
+    // legacy flat-string-array offsets (pre-length checkpoints) parse as
+    // length -1 — including names that LOOK like pair suffixes
+    val legacy = """["/a/plain.txt","/a/tricky\",123].txt"]"""
+    assert(BioOffset.fromJson(legacy) ==
+      BioOffset.ofNames(Set("/a/plain.txt", "/a/tricky\",123].txt")))
+    // randomized round-trip over a nasty alphabet (incl. digits and ])
     val rnd = new scala.util.Random(7)
-    val alphabet = "ab\"\\, /."
+    val alphabet = "ab\"\\, /.]0129"
     for (_ <- 0 until 200) {
       val files = (0 until rnd.nextInt(5)).map { i =>
-        s"f$i-" + (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-      }.toSet
+        (s"f$i-" + (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ->
+          rnd.nextLong(1L << 40)
+      }.toMap
       assert(BioOffset.fromJson(BioOffset(files).json()) == BioOffset(files), files.toString)
     }
+  }
+
+  test("streaming replay plans splits from offset content and fails loudly on a vanished file") {
+    import graft.sources.{BioInputPartition, BioMicroBatchStream, BioOffset, BioTable}
+    val dir = Files.createTempDirectory("bio_replay").toString
+    val f = Paths.get(dir, "w1.txt")
+    Files.write(f, "a B-X\nb O\n\nc B-Y\n".getBytes(StandardCharsets.UTF_8))
+    val len = Files.size(f)
+    val name = "file:" + f.toString
+    val stream = new BioMicroBatchStream(dir, "bio", 7L, BioTable.Schema)
+    val start = BioOffset(Map.empty[String, Long])
+    val end = BioOffset(Map(name -> len))
+    // splits derive from the (name, length) recorded in the offset
+    val parts = stream.planInputPartitions(start, end).map(_.asInstanceOf[BioInputPartition])
+    assert(parts.map(_.file).toSet == Set(name))
+    assert(parts.map(_.length).sum == len)
+    assert(parts.forall(_.length <= 7L))
+    // the file shrinks after the offset was committed → replay fails
+    // LOUDLY instead of silently dropping data from the batch
+    Files.write(f, "a B-X\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException](stream.planInputPartitions(start, end))
+    assert(e.getMessage.contains("exactly-once"))
+    // ... and so does a file that vanished entirely
+    Files.delete(f)
+    intercept[IllegalStateException](stream.planInputPartitions(start, end))
+    // a legacy name-only offset over an absent file also fails loudly
+    intercept[IllegalStateException](
+      stream.planInputPartitions(start, BioOffset.ofNames(Set(name))))
   }
 
   test("directory input reads every part file and skips _SUCCESS-style markers") {

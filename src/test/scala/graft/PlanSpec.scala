@@ -212,13 +212,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("auto band-join query: the optimizer rule turns the interval join into a hash equi-join") {
-    // the query installs BandJoinRewrite into the session (harmless for
-    // other suites: conf-gated, fires only on pure band inner joins, and
-    // is output-preserving when it does)
+    // the query installs BandJoinRewrite into an ISOLATED child session
+    // (newSession), so other suites' plans never see the rule or its
+    // arming conf
     val p = plan(SparkEntry.queries("q_events_band_join_auto")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band join not rewritten:\n$p")
     assert(p.contains("__band_bucket"), "bucket key missing — rule did not fire")
+    // ... and the CALLER's session is untouched: no rule installed, no
+    // arming conf left set (the r4 advice item: a leaked conf would run
+    // every later query in the shared session with the rewrite armed)
+    assert(!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandJoinRewrite]),
+      "band-join rule leaked into the caller session")
+    assert(spark.conf.getOption("spark.graft.bandJoin.bucketSize").isEmpty,
+      "band-join arming conf leaked into the caller session")
   }
 
   test("custom as-of exec query plans as the merge operator, not a window") {
