@@ -101,6 +101,29 @@ object Fixtures {
     }
     write(DocsGen.vocabEntries.toDF("surface", "entity_type"), "vocab")
 
+    // ------------------- K2-full n-gram detection (local sequential)
+    // Sequential replica of kg_mentions_ngram: fitLocal (bit-identical to
+    // the distributed fit — both reduce to Features.fromCounts over exact
+    // counts), then the SAME detector kernel run one sentence at a time
+    // with the pruned gazetteer. Distributed machinery under test: the
+    // flatMap→groupBy fit aggregation, the model broadcast, and the
+    // repartitioned mapPartitions detector. Confidence is rounded with
+    // SPARK's round at staging so both sides share one rounding kernel.
+    locally {
+      val model = graft.detect.Features.fitLocal(
+        sentences.map(ts => (ts.chars, ts.tags)))
+      val pruned = DocsGen.vocabEntries
+        .filterNot { case (surf, _) => SparkEntry.ngramHeldOut(surf) }
+      val kernel = new graft.detect.Detector.Kernel(
+        graft.detect.Detector.Gazetteer(pruned), 128, feats = model)
+      val rows = sentences.flatMap { ts =>
+        kernel.detect(graft.core.Sentence(ts.doc_id, ts.span_idx, ts.chars.mkString))
+      }.map(m => (m.doc_id, m.span_idx, m.entity_type, m.text, m.start, m.end, m.confidence))
+      write(rows.toDF("doc_id", "span_idx", "entity_type", "text", "start", "end", "confraw")
+        .withColumn("confidence", round($"confraw", 6)).drop("confraw"),
+        "expected_ngram_mentions")
+    }
+
     // ---------------------------- negative sampling (local sequential)
     // positives re-derived from gold mentions + the SQL lexicon's concept
     // assignment (row_number over (entity_type, surface), C%07d — same

@@ -46,6 +46,13 @@ object SparkEntry {
   /** kg_random_walks' draw — shared with the Fixtures replica. */
   private[graft] val WalksPerNode: Int = 2
   private[graft] val WalkLen: Int = 4
+
+  /** kg_mentions_ngram's gazetteer holdout (~25% of vocab surfaces are
+    * withheld from the dictionary so detection of them can only come from
+    * the K2 n-gram feature model) — shared with the Fixtures replica.
+    */
+  private[graft] def ngramHeldOut(surface: String): Boolean =
+    (graft.core.Hashing.hashString(surface, 0x4E47L) & 3L) == 0L
   private[graft] val WalksSeed: Long = 0x57A1CL
 
   /** Oracle fixture table (staged by [[Fixtures.stage]]; `{OUT}` is
@@ -211,6 +218,20 @@ object SparkEntry {
     "kg_mentions" -> ((s, dir) => {
       val (_, docs) = goldAndDocs(s, dir)
       KgPipeline.detectMentions(docs, DocsGen.vocabEntries).toDF()
+        .withColumn("confidence", round(col("confidence"), 6))
+        .orderBy("doc_id", "span_idx", "start")
+    }),
+    "kg_mentions_ngram" -> ((s, dir) => {
+      // K2 FULL under the gate: the hashed n-gram + context-window
+      // emission model is FIT DISTRIBUTED on the gold corpus (bounded
+      // (dim+1)×L aggregate), then detection runs with a gazetteer from
+      // which ~25% of surfaces are withheld — those mentions are only
+      // reachable through the feature model. Oracle: the bit-identical
+      // sequential replica staged as expected_ngram_mentions.
+      val (g, docs) = goldAndDocs(s, dir)
+      val model = graft.detect.Features.fit(DocsGen.goldSentences(g))
+      val pruned = DocsGen.vocabEntries.filterNot { case (surf, _) => ngramHeldOut(surf) }
+      KgPipeline.detectMentions(docs, pruned, feats = Some(model)).toDF()
         .withColumn("confidence", round(col("confidence"), 6))
         .orderBy("doc_id", "span_idx", "start")
     }),
@@ -1583,6 +1604,10 @@ object SparkEntry {
       s"""SELECT doc_id, span_idx, entity_type, text, "start", "end",
          |  round({CONF}, 6) AS confidence
          |FROM ${fx("gold_mentions")}
+         |ORDER BY doc_id, span_idx, "start"""".stripMargin,
+    "kg_mentions_ngram" ->
+      s"""SELECT doc_id, span_idx, entity_type, text, "start", "end", confidence
+         |FROM ${fx("expected_ngram_mentions")}
          |ORDER BY doc_id, span_idx, "start"""".stripMargin,
     "kg_linked" ->
       s"""WITH $lexCte

@@ -56,7 +56,8 @@ object KgPipeline {
   def detectMentions(
       docs: Dataset[Doc],
       gazetteer: Iterable[(String, String)],
-      numPartitions: Int = 0): Dataset[Mention] = {
+      numPartitions: Int = 0,
+      feats: Option[graft.detect.Features.FeatureModel] = None): Dataset[Mention] = {
     val spark = docs.sparkSession
     val sents0 = sentences(docs)
     // explicit repartition by doc_id hash (north_rule) — co-locates a doc's
@@ -65,7 +66,8 @@ object KgPipeline {
       if (numPartitions > 0) sents0.repartition(numPartitions, col("doc_id"))
       else sents0.repartition(col("doc_id"))
     val gazBc = Detector.broadcastGazetteer(spark, gazetteer)
-    Detector.detect(sents, gazBc)
+    val featsBc = feats.map(spark.sparkContext.broadcast(_)).orNull
+    Detector.detect(sents, gazBc, featsBc = featsBc)
   }
 
   /** Full pipeline: docs + lexicon → canonicalized triples. Internal
