@@ -664,6 +664,34 @@ object SparkEntry {
           expr("round(percentile(n_chars, 0.95), 4)").as("p95"))
         .orderBy("lang")
     }),
+    "q_docs_table_prune" -> ((s, dir) => {
+      // the SNAPSHOT TABLE LAYER under the DuckDB gate, through manifest
+      // DATA SKIPPING: documents are committed into an Icebergish table
+      // as four doc_id-range appends (the chronological-append shape)
+      // with per-file zone maps on doc_id; the query reads through
+      // readPruned, so commits whose bounds refute the predicate are
+      // never scanned — require() makes a silent no-skip regression fail
+      // the query rather than quietly degrade to a full scan.
+      import graft.tables.Icebergish
+      val docs = s.read.parquet(t(dir, "documents"))
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val root = java.nio.file.Files.createTempDirectory("graft_table_prune").toString
+      val bounds = (0 to 4).map(i => (maxId + 1) * i / 4)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        Icebergish.commit(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          root, statsColumns = Seq("doc_id"))
+      }
+      val cut = maxId * 3 / 5
+      val pred = col("doc_id") >= cut
+      val (_, skipped) = Icebergish.pruneFiles(s, root, pred)
+      require(skipped.nonEmpty,
+        s"zone-map pruning skipped no files for doc_id >= $cut")
+      Icebergish.readPruned(s, root, pred)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    }),
     "q_docs_rollup" -> ((s, dir) => {
       // multi-dimensional aggregation: ROLLUP over (source, lang) —
       // per-combo rows + per-source subtotals + the grand total in one
@@ -2208,6 +2236,12 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
         |  round(quantile_cont(n_chars, 0.95), 4) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_docs_table_prune" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE doc_id >= (SELECT max(doc_id) * 3 // 5 FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_docs_rollup" ->
       """SELECT source, lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars

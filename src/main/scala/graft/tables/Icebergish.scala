@@ -74,6 +74,14 @@ object Icebergish {
     */
   private[graft] val manifestReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-file per-column min/max (the zone-map half of the manifest —
+    * real Iceberg's `lower_bounds`/`upper_bounds`). `t` is the value
+    * family: "i" integral (Long), "f" floating (Double), "d" decimal
+    * (String, compared as BigDecimal), "s" string. None min/max = the
+    * file's column was all-null (or empty) — never prunable.
+    */
+  case class ColStats(t: String, min: Option[Any], max: Option[Any])
+
   case class Snapshot(
       id: Long,
       parent: Long, // -1 = none
@@ -85,7 +93,8 @@ object Icebergish {
       tag: Option[String] = None,
       dataDir: Option[String] = None, // nonce'd; pre-r3 manifests lack it
       tags: Option[Map[String, Long]] = None, // rolled-up tag → rows
-      removedFiles: Seq[String] = Nil) // "replace" mode: files dropped from the parent's effective set
+      removedFiles: Seq[String] = Nil, // "replace" mode: files dropped from the parent's effective set
+      fileStats: Map[String, Map[String, ColStats]] = Map.empty) // relpath → col → bounds
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -228,7 +237,15 @@ object Icebergish {
         .asScala.map { case (k, v) => k -> v.toString.toLong }.toMap),
       Option(m.get("removed_files"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      Option(m.get("file_stats"))
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (file, cols) =>
+          file -> cols.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (c, st) =>
+            val sm = st.asInstanceOf[java.util.Map[String, Object]]
+            c -> ColStats(sm.get("t").toString, Option(sm.get("min")), Option(sm.get("max")))
+          }.toMap
+        }.toMap)
+        .getOrElse(Map.empty))
   }
 
   /** Manifest chain contributing to snapshot `id`, oldest first — cut at
@@ -289,8 +306,9 @@ object Icebergish {
       root: String,
       mode: String = "append",
       partitionBy: Seq[String] = Nil,
-      tag: Option[String] = None): Long =
-    commitWithParent(df, root, mode, partitionBy, tag, None)
+      tag: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Long =
+    commitWithParent(df, root, mode, partitionBy, tag, None, statsColumns = statsColumns)
 
   /** Replace-mode commit: add `df`'s files AND drop `removedFiles` from
     * the parent's effective set in one atomic snapshot — the primitive
@@ -317,7 +335,8 @@ object Icebergish {
       partitionBy: Seq[String],
       tag: Option[String],
       parentOverride: Option[Long],
-      removedFiles: Seq[String] = Nil): Long = {
+      removedFiles: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite" || mode == "replace")
     require(removedFiles.isEmpty || mode == "replace", "removedFiles requires replace mode")
     val spark = df.sparkSession
@@ -344,15 +363,57 @@ object Icebergish {
       }
       buf.sorted.toSeq
     }
-    val rows =
-      if (committed.isEmpty) 0L
+    // One read of the committed files yields BOTH the row count and (when
+    // requested) the per-file column bounds — stats collection costs no
+    // extra scan over the count the commit already paid. Only integral /
+    // floating / decimal / string columns are supported; others are
+    // silently skipped (pruning for them simply never fires).
+    val statTyped: Seq[(String, String)] =
+      statsColumns.flatMap { c =>
+        df.schema.fields.find(_.name == c).map(_.dataType).collect {
+          case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+               _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => c -> "i"
+          case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType => c -> "f"
+          case _: org.apache.spark.sql.types.DecimalType => c -> "d"
+          case _: org.apache.spark.sql.types.StringType => c -> "s"
+        }
+      }
+    val (rows, fileStats: Map[String, Map[String, ColStats]]) =
+      if (committed.isEmpty) (0L, Map.empty[String, Map[String, ColStats]])
       else {
         val paths = committed.map(p => s"$root/$p")
         val reader =
           if (partitionBy.nonEmpty)
             spark.read.option("basePath", f.makeQualified(dataDir).toString)
           else spark.read
-        reader.parquet(paths: _*).count()
+        val base = reader.parquet(paths: _*)
+        if (statTyped.isEmpty) (base.count(), Map.empty[String, Map[String, ColStats]])
+        else {
+          import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+          val aggs = count(lit(1)).as("__n") +:
+            statTyped.flatMap { case (c, _) =>
+              Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+            }
+          // per-file aggregate: bounded by the commit's file count
+          val perFile = base.groupBy(input_file_name().as("__file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+          def norm(t: String, v: Any): Option[Any] = Option(v).map {
+            case n: java.lang.Number if t == "i" => java.lang.Long.valueOf(n.longValue())
+            case n: java.lang.Number if t == "f" => java.lang.Double.valueOf(n.doubleValue())
+            case d: java.math.BigDecimal => d.toPlainString
+            case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+            case s => s.toString
+          }
+          val stats = perFile.map { r =>
+            // Path.toString normalizes the scheme form, matching `committed`
+            val rel = new Path(r.getAs[String]("__file")).toString.stripPrefix(rootQ + "/")
+            rel -> statTyped.map { case (c, t) =>
+              c -> ColStats(t, norm(t, r.getAs[Any](s"__min_$c")), norm(t, r.getAs[Any](s"__max_$c")))
+            }.toMap
+          }.toMap
+          (perFile.map(_.getAs[Long]("__n")).sum, stats)
+        }
       }
 
     // roll up the idempotence tags: parent's accumulated map + own tag.
@@ -377,6 +438,21 @@ object Icebergish {
       val tm = new java.util.LinkedHashMap[String, Object]()
       accTags.toSeq.sortBy(_._1).foreach { case (k, v) => tm.put(k, java.lang.Long.valueOf(v)) }
       manifest.put("tags", tm)
+    }
+    if (fileStats.nonEmpty) {
+      val fsMap = new java.util.LinkedHashMap[String, Object]()
+      fileStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
+          val m2 = new java.util.LinkedHashMap[String, Object]()
+          m2.put("t", st.t)
+          st.min.foreach(v => m2.put("min", v.asInstanceOf[Object]))
+          st.max.foreach(v => m2.put("max", v.asInstanceOf[Object]))
+          cm.put(c, m2)
+        }
+        fsMap.put(file, cm)
+      }
+      manifest.put("file_stats", fsMap)
     }
     manifest.put("schema", df.schema.json)
 
@@ -481,6 +557,154 @@ object Icebergish {
     // allowMissingColumns: schema evolution — a snapshot written before a
     // column was added reads as null for that column
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Split the snapshot's effective file set by the manifest zone maps:
+    * `(kept, skipped)`. A file is skipped only when its recorded bounds
+    * PROVE no row can satisfy `predicate`; files without stats (or with
+    * stats the evaluator cannot reason about) are conservatively kept.
+    * Evaluation happens on the DRIVER over manifest metadata — Spark
+    * never lists, opens, or schedules a skipped file.
+    */
+  def pruneFiles(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      snapshot: Option[Long] = None): (Seq[(String, Snapshot)], Seq[String]) = {
+    val id = snapshot
+      .orElse(currentSnapshotId(spark, root))
+      .getOrElse(sys.error(s"no current snapshot in $root"))
+    val eff = effectiveFiles(chainOf(spark, root, id))
+    val node = org.apache.spark.sql.GraftSqlBridge.predicateTree(predicate)
+    val (kept, skipped) = eff.partition { case (file, snap) =>
+      snap.fileStats.get(file) match {
+        case Some(stats) => mayMatch(node, stats)
+        case None => true
+      }
+    }
+    (kept, skipped.map(_._1))
+  }
+
+  /** Conservative zone-map evaluator: may the predicate match ANY row of
+    * a file with these column bounds? Unknown shapes return true. The
+    * comparison algebra mirrors Iceberg's InclusiveMetricsEvaluator:
+    * And/Or recurse (Not is NOT pushed through — a `true` from a child
+    * means "maybe", and !maybe is not "never"); a binary comparison
+    * between a stats column and a foldable literal tests the interval.
+    */
+  private[graft] def mayMatch(
+      e: org.apache.spark.sql.GraftSqlBridge.PredTree,
+      stats: Map[String, ColStats]): Boolean = {
+    import org.apache.spark.sql.GraftSqlBridge.PredTree
+    def colName(x: PredTree): Option[String] = x match {
+      case PredTree.Attr(n) => Some(n)
+      case _ => None
+    }
+    def litVal(x: PredTree): Option[Any] = x match {
+      case PredTree.Lit(v) if v != null => Some(v)
+      case _ => None
+    }
+    // compare a stats bound against a predicate literal in the column's
+    // value family; None = incomparable (→ conservative keep)
+    def cmp(bound: Any, lit: Any, t: String): Option[Int] =
+      try {
+        t match {
+          case "i" | "f" | "d" =>
+            val b = bound match {
+              case s: String => new java.math.BigDecimal(s)
+              case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+              case _ => return None
+            }
+            val l = lit match {
+              case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+              case d: scala.math.BigDecimal => d.bigDecimal
+              case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+              case _ => return None
+            }
+            Some(b.compareTo(l))
+          case "s" =>
+            val l = lit match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case s: String => s
+              case _ => return None
+            }
+            Some(bound.toString.compareTo(l))
+          case _ => None
+        }
+      } catch { case _: NumberFormatException => None }
+    // interval test for `col OP lit` (flip = literal was on the left)
+    def test(name: String, lit: Any, op: String): Boolean =
+      stats.get(name) match {
+        case Some(ColStats(t, Some(mn), Some(mx))) =>
+          (cmp(mn, lit, t), cmp(mx, lit, t)) match {
+            case (Some(cMin), Some(cMax)) => op match {
+              case "="  => cMin <= 0 && cMax >= 0
+              case "<"  => cMin < 0   // some value below lit exists
+              case "<=" => cMin <= 0
+              case ">"  => cMax > 0
+              case ">=" => cMax >= 0
+              case _ => true
+            }
+            case _ => true
+          }
+        // all-null column can satisfy no comparison — but only when the
+        // file is known non-empty is minCount meaningful; be conservative
+        case _ => true
+      }
+    def binary(l: PredTree, r: PredTree, op: String, flipped: String): Boolean =
+      (colName(l), litVal(r), colName(r), litVal(l)) match {
+        case (Some(n), Some(v), _, _) => test(n, v, op)
+        case (_, _, Some(n), Some(v)) => test(n, v, flipped)
+        case _ => true
+      }
+    // the Column DSL builds function nodes named like SQL operators
+    // ("and", ">=", "=", ...)
+    e match {
+      case PredTree.Fn(name, args) =>
+        (name.toLowerCase, args) match {
+          case ("and", Seq(l, r)) => mayMatch(l, stats) && mayMatch(r, stats)
+          case ("or", Seq(l, r)) => mayMatch(l, stats) || mayMatch(r, stats)
+          case ("=" | "==" | "equal_to", Seq(l, r)) => binary(l, r, "=", "=")
+          case ("<", Seq(l, r)) => binary(l, r, "<", ">")
+          case ("<=", Seq(l, r)) => binary(l, r, "<=", ">=")
+          case (">", Seq(l, r)) => binary(l, r, ">", "<")
+          case (">=", Seq(l, r)) => binary(l, r, ">=", "<=")
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
+  /** [[read]] + manifest data skipping: semantically identical to
+    * `read(spark, root, snapshot).filter(predicate)`, but files whose
+    * zone maps refute the predicate never reach the scan at all — the
+    * biggest 100 TB read lever after partition pruning (a time-range
+    * query over a chronologically-appended table touches only the
+    * matching commits' files). Statistics come from commits made with
+    * `statsColumns`; stat-less files degrade gracefully to scan+filter.
+    */
+  def readPruned(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      snapshot: Option[Long] = None): DataFrame = {
+    val (kept, _) = pruneFiles(spark, root, predicate, snapshot)
+    val f = fs(spark, root)
+    val bySnap = kept.groupBy(_._2).toSeq.sortBy(_._1.id)
+    val parts = bySnap.collect { case (s, files) if files.nonEmpty =>
+      val paths = files.map(_._1).map(p => s"$root/$p")
+      val reader =
+        if (s.partitionBy.nonEmpty)
+          spark.read.option("basePath",
+            f.makeQualified(new Path(root, s.dataDir.getOrElse(s"data/snap-${s.id}"))).toString)
+        else spark.read
+      reader.parquet(paths: _*)
+    }
+    val base =
+      if (parts.isEmpty)
+        read(spark, root, snapshot).limit(0) // keep the schema
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    base.filter(predicate)
   }
 
   def exists(spark: SparkSession, root: String): Boolean =
@@ -611,7 +835,7 @@ object Icebergish {
     * commit race — it fails cleanly and retries.
     * @return the removed directory names
     */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, root)
     val mDir = new Path(root, "manifests")
     val dDir = new Path(root, "data")
@@ -635,7 +859,6 @@ object Icebergish {
     // locks are never read) but accumulate; sweep them past a grace
     // period so an IN-FLIGHT installer's temp is never pulled out from
     // under it.
-    val graceMs = 15 * 60 * 1000L
     val now = System.currentTimeMillis()
     val tmpManifests =
       if (!f.exists(mDir)) Nil
@@ -651,9 +874,18 @@ object Icebergish {
         .filter(st => st.getPath.getName.contains(".broken-") &&
           now - st.getModificationTime > graceMs)
         .map { st => f.delete(st.getPath, true); "locks/" + st.getPath.getName }
-    f.listStatus(dDir).toSeq.map(_.getPath.getName)
-      .filterNot(referenced)
-      .map { orphan => f.delete(new Path(dDir, orphan), true); orphan } ++
+    // Unreferenced data dirs are deleted only past the SAME grace period:
+    // an IN-FLIGHT committer's staged dir is unreferenced by construction
+    // (its manifest installs only after the parquet write completes), so
+    // an ungraced sweep racing a live commit would delete data the
+    // about-to-install manifest references — data loss. The grace also
+    // covers vacuum's own list-then-delete window against a commit that
+    // lands in between (its fresh dir is young). A dir's mtime is its
+    // last staging write; only crash leftovers age past the grace.
+    f.listStatus(dDir).toSeq
+      .filter(st => !referenced(st.getPath.getName) &&
+        now - st.getModificationTime > graceMs)
+      .map { st => f.delete(st.getPath, true); st.getPath.getName } ++
       tmpManifests ++ brokenLocks
   }
 

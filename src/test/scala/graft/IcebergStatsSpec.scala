@@ -1,0 +1,117 @@
+package graft
+
+import graft.tables.Icebergish
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level column statistics + manifest data skipping (r4 VERDICT
+  * next-step #3): commits record per-file min/max zone maps for chosen
+  * columns; [[Icebergish.readPruned]] refutes files on the driver before
+  * Spark ever schedules them, with conservative keep everywhere the
+  * bounds cannot prove absence.
+  */
+class IcebergStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("iceb_stats").toString
+
+  private def commitRange(root: String, lo: Int, hi: Int, parts: Int = 2): Long = {
+    import spark.implicits._
+    val df = (lo until hi).map(k => (k.toLong, s"name-%04d".format(k), k * 1.5))
+      .toDF("k", "name", "score").repartition(parts)
+    Icebergish.commit(df, root, statsColumns = Seq("k", "name", "score"))
+  }
+
+  test("chronological appends: a range predicate skips every non-matching file") {
+    val root = tmpRoot()
+    commitRange(root, 0, 100)
+    commitRange(root, 100, 200)
+    commitRange(root, 200, 300)
+    commitRange(root, 300, 400)
+
+    val (kept, skipped) = Icebergish.pruneFiles(spark, root, col("k") >= 250L)
+    assert(skipped.nonEmpty, "no files skipped for a selective range predicate")
+    // commits 0-100, 100-200 contribute only skippable files (4 files);
+    // 200-300 may straddle 250 per file split, 300-400 fully kept
+    assert(skipped.size >= 4, s"expected >=4 skipped files, got ${skipped.size}: $skipped")
+
+    val viaPrune = Icebergish.readPruned(spark, root, col("k") >= 250L)
+      .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val viaScan = Icebergish.read(spark, root).filter(col("k") >= 250L)
+      .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(viaPrune.toSeq == viaScan.toSeq)
+    assert(viaPrune.length == 150)
+  }
+
+  test("equality, string, double, flipped-literal, and boolean-combination predicates prune correctly") {
+    val root = tmpRoot()
+    commitRange(root, 0, 100)
+    commitRange(root, 100, 200)
+
+    def check(pred: org.apache.spark.sql.Column, expectSkip: Boolean): Unit = {
+      val (_, skipped) = Icebergish.pruneFiles(spark, root, pred)
+      assert(skipped.nonEmpty == expectSkip, s"pred=$pred skipped=$skipped")
+      val a = Icebergish.readPruned(spark, root, pred).count()
+      val b = Icebergish.read(spark, root).filter(pred).count()
+      assert(a == b, s"pred=$pred pruned=$a scanned=$b")
+    }
+    check(col("k") === 150L, expectSkip = true)
+    check(lit(150L) <= col("k"), expectSkip = true) // literal on the left
+    check(col("name") < "name-0050", expectSkip = true) // string bounds
+    check(col("score") > lit(250.0), expectSkip = true) // double bounds
+    check(col("k") >= 100L && col("k") < 150L, expectSkip = true)
+    // OR keeps a file if EITHER side may match
+    check(col("k") < 50L || col("k") >= 150L, expectSkip = false)
+    check(col("k") === 9999L, expectSkip = true) // out of all ranges: everything skipped
+    assert(Icebergish.readPruned(spark, root, col("k") === 9999L).count() == 0L)
+  }
+
+  test("conservative keeps: stat-less commits, unknown columns, unsupported shapes") {
+    import spark.implicits._
+    val root = tmpRoot()
+    commitRange(root, 0, 100)
+    // a commit WITHOUT stats: its files must always be kept
+    Icebergish.commit(
+      (500 until 510).map(k => (k.toLong, s"name-%04d".format(k), k * 1.5))
+        .toDF("k", "name", "score"), root)
+
+    val (kept, skipped) = Icebergish.pruneFiles(spark, root, col("k") >= 400L)
+    assert(kept.nonEmpty, "stat-less files must survive pruning")
+    assert(skipped.size == 2, s"the stats-bearing commit's files should skip: $skipped")
+    assert(Icebergish.readPruned(spark, root, col("k") >= 400L).count() == 10L)
+
+    // unknown column / non-comparison predicate → no pruning, same answer
+    val p2 = length(col("name")) > 3 // function shape: evaluator must keep all
+    assert(Icebergish.pruneFiles(spark, root, p2)._2.isEmpty)
+    assert(Icebergish.readPruned(spark, root, p2).count() ==
+      Icebergish.read(spark, root).filter(p2).count())
+    // NOT is not pushed through (conservative)
+    val p3 = !(col("k") < 50L)
+    assert(Icebergish.pruneFiles(spark, root, p3)._2.isEmpty)
+    assert(Icebergish.readPruned(spark, root, p3).count() ==
+      Icebergish.read(spark, root).filter(p3).count())
+  }
+
+  test("all-null stat column never prunes; replace-mode removals respected") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = Seq((null.asInstanceOf[java.lang.Long], "x"), (null.asInstanceOf[java.lang.Long], "y"))
+      .toDF("k", "name")
+    Icebergish.commit(df, root, statsColumns = Seq("k"))
+    // bounds are absent for the all-null column → file kept, filter applies
+    assert(Icebergish.pruneFiles(spark, root, col("k") > 0L)._2.isEmpty)
+    assert(Icebergish.readPruned(spark, root, col("k") > 0L).count() == 0L)
+  }
+
+  test("time travel + pruning compose") {
+    val root = tmpRoot()
+    val s1 = commitRange(root, 0, 100)
+    commitRange(root, 100, 200)
+    val atS1 = Icebergish.readPruned(spark, root, col("k") >= 50L, snapshot = Some(s1))
+    assert(atS1.count() == 50L)
+    val (_, skippedAtS1) = Icebergish.pruneFiles(spark, root, col("k") >= 100L, Some(s1))
+    assert(Icebergish.readPruned(spark, root, col("k") >= 100L, Some(s1)).count() == 0L)
+    assert(skippedAtS1.size == 2, "both of snapshot 1's files refute k>=100")
+  }
+}

@@ -257,6 +257,12 @@ class Round3Spec extends AnyFunSuite {
     val orphan = new org.apache.hadoop.fs.Path(root, "data/snap-9-deadbeef")
     f.mkdirs(orphan)
     f.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true).close()
+    // a CRASHED stage is old by definition; age it past the vacuum grace
+    // (a fresh unreferenced dir is, by contract, an in-flight commit's
+    // staging and must survive — see the r5 vacuum-concurrency test)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-9-deadbeef"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
 
     val removed = Icebergish.vacuum(spark, root)
     assert(removed == Seq("snap-9-deadbeef"))
