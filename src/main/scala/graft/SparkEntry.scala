@@ -1273,6 +1273,40 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    "streaming_dedup_neardup" -> ((s, dir) => {
+      // STATEFUL streaming MinHash-LSH near-dup dedup over STAGED WAVES:
+      // documents split into four files, drained as four micro-batches
+      // (maxFilesPerTrigger=1), banded signatures matched against the
+      // (band, bucket) state across batches — cross-wave near-dup pairs
+      // exist only because state carries earlier waves' signatures. The
+      // pair set is arrival-order independent, so the batch clusters
+      // oracle (expected_neardup_clusters, same as dedup_minhash_clusters)
+      // pins a STREAMING query.
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_neardup_waves_")
+      (0 until 4).foreach { w =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_wave_$w")
+        docs.filter(pmod(col("doc_id"), lit(4)) === w)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.copy(part, streamDir.resolve(f"wave-$w%02d.parquet"))
+      }
+      val schema = docs.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val name = "graft_stream_neardup_" + java.lang.Long.toHexString(System.nanoTime())
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+      val q = graft.streaming.Streaming.nearDupPairsStream(stream, threshold = 0.3)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val pairs = s.table(name).dropDuplicates("id_a", "id_b")
+      Dedup.nearDupClusters(pairs).orderBy("id")
+    }),
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val (_, docs) = goldAndDocs(s, dir)
@@ -2146,6 +2180,8 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       s"""SELECT id_a, id_b, est_jaccard FROM ${fx("expected_minhash_pairs")} ORDER BY id_a, id_b""",
     "dedup_minhash_clusters" ->
+      s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
+    "streaming_dedup_neardup" ->
       s"""SELECT id, keep_id FROM ${fx("expected_neardup_clusters")} ORDER BY id""",
     "q_docs_stratified_sample" ->
       s"""SELECT doc_id FROM ${fx("expected_stratified_sample")} ORDER BY doc_id""",

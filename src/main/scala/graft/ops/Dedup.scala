@@ -114,12 +114,7 @@ object Dedup {
       .select(col(idCol).as("id"), sigExpr(col(textCol)).as("sig"))
 
     // band buckets: hash of each signature slice
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
-        .as(Seq("band", "bucket")))
+    val banded = bandedSigs(sigs, k, bands)
 
     // prune pathological buckets (boilerplate) before pairing
     val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
@@ -143,6 +138,21 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** `(id, sig)` → one row per LSH band with its bucket hash — shared by
+    * the batch pair generator and the STREAMING stateful matcher
+    * ([[graft.streaming.Streaming.nearDupPairsStream]]) so both bucket
+    * identically (a pair found by one is found by the other).
+    */
+  private[graft] def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sigs.select(
+      col("id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+        .as(Seq("band", "bucket")))
   }
 
   /** Near-duplicate CLUSTERS: the full dedup shape a training corpus

@@ -165,12 +165,32 @@ case class BioScan(
     path: String,
     idPrefix: String,
     maxSplitBytes: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"BioScan path=$path cols=${required.fieldNames.mkString(",")}"
+
+  /** File-census statistics so Catalyst can PLAN with this source:
+    * without them a DSv2 relation costs `spark.sql.defaultSizeInBytes`
+    * (≈Long.Max) and a small BIO table on the build side of a join gets
+    * a sort-merge plan instead of the broadcast it deserves. Size = sum
+    * of data-file lengths (the same census the split planner reads);
+    * rows = size over a measured ~500 bytes/sentence-block on the
+    * reference corpus — an order-of-magnitude row estimate is all the
+    * join planner needs.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = BioFiles.list(path, GraftSqlBridge.activeHadoopConf()).map(_.getLen).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes / 500L))
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     BioFiles.split(BioFiles.list(path, GraftSqlBridge.activeHadoopConf()), maxSplitBytes)

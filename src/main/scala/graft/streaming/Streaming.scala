@@ -257,6 +257,105 @@ object Streaming {
       rows.reduceOption((a, b) => if (a.doc_id <= b.doc_id) a else b).iterator
     }
 
+  /** One member of an LSH band bucket held in streaming state. */
+  case class SigDoc(id: Long, sig: Seq[Long])
+
+  /** STATEFUL streaming MinHash-LSH near-dup pairs: the streaming
+    * variant of `Dedup.minhashPairs` for a continuously-ingested corpus
+    * (r4 VERDICT next-step #4). Each arriving doc's codegen'd MinHash
+    * signature explodes into the SAME band buckets as the batch operator
+    * (`Dedup.bandedSigs` — shared expression, identical bucketing);
+    * `flatMapGroupsWithState` keyed by (band, bucket) holds the bucket's
+    * member signatures and emits a scored pair the moment the second
+    * member of a near-dup pair arrives — whether in the same micro-batch
+    * or days apart.
+    *
+    * Pair SET equals the batch operator's over the same corpus (modulo
+    * the cap note below) and is ARRIVAL-ORDER INDEPENDENT: a pair is
+    * emitted exactly when its later member arrives, and est_jaccard is a
+    * deterministic function of the two signatures. The same pair can
+    * surface from several shared bands, exactly like the batch operator
+    * before its dropDuplicates — dedup pairs downstream.
+    *
+    * Cap semantics necessarily differ from batch: batch sees final
+    * bucket sizes and DROPS oversized buckets wholesale; a stream cannot
+    * retract, so a bucket at `maxBucket` members simply stops growing
+    * (later arrivals in it pair with nothing). On corpora where no
+    * bucket reaches the cap — the intended operating point — the two are
+    * identical, which is what the driver oracle pins.
+    *
+    * State shape at 100 TB: per live bucket ≤ maxBucket (id, k-long sig)
+    * entries; pair with `stateTtl` (processing-time timeout, same
+    * contract as [[dedupExactStream]]) and the RocksDB state store to
+    * bound an unbounded ingest to its active window.
+    */
+  def nearDupPairsStream(
+      docs: DataFrame, // (doc_id: long-castable, text: string)
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs
+      .select(
+        col("doc_id").cast("long").as("id"),
+        graft.functions.MinHashSig.minhash_sig(coalesce(col("text"), lit("")), k, shingleWidth).as("sig"))
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    graft.ops.Dedup.bandedSigs(sigs, k, bands)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .mapValues { case (_, _, id, sig) => SigDoc(id, sig) }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: (Int, Long), rows: Iterator[SigDoc], state: GroupState[Seq[SigDoc]]) =>
+          nearDupStep(rows, state, k, threshold, maxBucket, stateTtl)
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
+  }
+
+  /** One bucket-state transition, extracted for TestGroupState unit
+    * tests (same pattern as [[dedupStep]]).
+    */
+  private[graft] def nearDupStep(
+      rows: Iterator[SigDoc],
+      state: GroupState[Seq[SigDoc]],
+      k: Int,
+      threshold: Double,
+      maxBucket: Int,
+      stateTtl: Option[String]): Iterator[(Long, Long, Double)] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var members = state.getOption.getOrElse(Seq.empty)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      // deterministic within-batch order (arrival order inside a batch is
+      // partition-dependent; the emitted SET is order-independent anyway)
+      rows.toSeq.sortBy(_.id).foreach { d =>
+        if (members.size < maxBucket && !members.exists(_.id == d.id)) {
+          members.foreach { m =>
+            var eq = 0
+            var i = 0
+            while (i < k) { if (m.sig(i) == d.sig(i)) eq += 1; i += 1 }
+            val est = eq.toDouble / k
+            if (est >= threshold)
+              out += ((math.min(m.id, d.id), math.max(m.id, d.id),
+                math.rint(est * 1e6) / 1e6))
+          }
+          members = members :+ d
+        }
+      }
+      state.update(members)
+      stateTtl.foreach(state.setTimeoutDuration)
+      out.result().iterator
+    }
+
   /** Watermarked sliding-window aggregation over an event stream — the
     * standard streaming-agg shape (used on the `events` table for engine
     * coverage; the KG pipeline itself has no event-time semantics).

@@ -346,6 +346,31 @@ class BioSourceSpec extends AnyFunSuite {
       stream.planInputPartitions(start, BioOffset.ofNames(Set(name))))
   }
 
+  test("scan reports file-census statistics; a small bio table auto-broadcasts in a join") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val path = writeBio(sample)
+    // statistics surface the on-disk size (no defaultSizeInBytes fallback)
+    val scan = graft.sources.BioScan(path, "bio", 128L * 1024 * 1024,
+      graft.sources.BioTable.Schema)
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes().getAsLong == Files.size(Paths.get(path)))
+    assert(stats.numRows().isPresent && stats.numRows().getAsLong >= 1)
+
+    // join against a large-ish parquet side WITHOUT a broadcast hint:
+    // the reported few-hundred-byte size must make Catalyst choose
+    // BroadcastHashJoin on its own (pre-stats, the DSv2 relation cost
+    // spark.sql.defaultSizeInBytes and planned a sort-merge join)
+    val bio = spark.read.format("bio").load(path)
+    val other = spark.range(0, 50000)
+      .select(concat(lit("bio-"), col("id")).as("doc_id"), col("id").as("payload"))
+    val joined = other.join(bio.select("doc_id", "chars"), "doc_id")
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"small bio side not auto-broadcast:\n$phys")
+    assert(!phys.contains("SortMergeJoin"), s"sort-merge chosen:\n$phys")
+    joined.collect() // and it actually runs
+  }
+
   test("directory input reads every part file and skips _SUCCESS-style markers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bio_src_dir").toString

@@ -15,6 +15,143 @@ class Round5Spec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("streaming near-dup pairs equal the batch operator across staged waves") {
+    import graft.streaming.Streaming
+    import spark.implicits._
+    // corpus with planted near-dup groups: base docs + perturbed copies
+    // (one token appended — high but <1.0 estimated jaccard) + exact dups
+    val base = (0L until 40L).map { i =>
+      val toks = (0 until 30).map(j => s"tok${graft.core.Hashing.hash2(i, j) % 97}")
+      (i, toks.mkString(" "))
+    }
+    val nearDups = base.take(12).map { case (i, t) => (i + 1000L, t + " extra") }
+    val exactDups = base.slice(12, 20).map { case (i, t) => (i + 2000L, t) }
+    val corpus = base ++ nearDups ++ exactDups
+    val df = corpus.toDF("doc_id", "text")
+
+    val batchPairs = graft.ops.Dedup
+      .minhashPairs(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs.nonEmpty, "fixture must contain near-dup pairs")
+
+    // stream the same corpus in 3 waves through the stateful matcher
+    val srcDir = tmpDir("neardup_waves")
+    corpus.zipWithIndex.groupBy(_._2 % 3).foreach { case (w, rows) =>
+      val stage = tmpDir(s"neardup_stage_$w")
+      rows.map(_._1).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(srcDir, f"wave-$w%02d.parquet"))
+    }
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val name = "neardup_stream_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Streaming.nearDupPairsStream(stream, threshold = 0.5)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("neardup_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamPairs = spark.table(name).dropDuplicates("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamPairs == batchPairs,
+      s"missing=${(batchPairs -- streamPairs).take(5)} extra=${(streamPairs -- batchPairs).take(5)}")
+    // cross-wave evidence: at least one pair spans two waves (its members
+    // arrived in different micro-batches, so only state could link them)
+    val waveOf: Map[Long, Int] =
+      corpus.zipWithIndex.map { case ((id, _), idx) => id -> idx % 3 }.toMap
+    assert(streamPairs.exists { case (a, b, _) => waveOf(a) != waveOf(b) },
+      "no cross-micro-batch pair found — the stateful path was not exercised")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("near-dup bucket state machine: cap stops growth, TTL expiry forgets the bucket") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val sigA = Seq.fill(4)(1L)
+    val sigB = Seq(1L, 1L, 1L, 9L) // 3/4 = 0.75 est jaccard vs sigA
+    def st(init: Option[Seq[Streaming.SigDoc]], timedOut: Boolean) =
+      TestGroupState.create[Seq[Streaming.SigDoc]](
+        optionalState = init.map(org.apache.spark.api.java.Optional.of[Seq[Streaming.SigDoc]])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Seq[Streaming.SigDoc]]()),
+        timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = timedOut)
+
+    // second member arrives later: pair emitted against stored state
+    val s1 = st(Some(Seq(Streaming.SigDoc(1L, sigA))), timedOut = false)
+    val out1 = Streaming.nearDupStep(
+      Iterator(Streaming.SigDoc(5L, sigB)), s1, k = 4, threshold = 0.5,
+      maxBucket = 10, stateTtl = Some("1 hours")).toSeq
+    assert(out1 == Seq((1L, 5L, 0.75)))
+    assert(s1.get.map(_.id) == Seq(1L, 5L) && s1.getTimeoutTimestampMs.isPresent)
+
+    // below threshold: no emission, member still stored
+    val s2 = st(Some(Seq(Streaming.SigDoc(1L, Seq(7L, 8L, 9L, 10L)))), timedOut = false)
+    assert(Streaming.nearDupStep(Iterator(Streaming.SigDoc(2L, sigA)), s2,
+      4, 0.5, 10, None).isEmpty)
+    assert(s2.get.size == 2)
+
+    // full bucket: later arrivals pair with nothing and do not grow state
+    val full = (0 until 3).map(i => Streaming.SigDoc(i.toLong, sigA))
+    val s3 = st(Some(full), timedOut = false)
+    assert(Streaming.nearDupStep(Iterator(Streaming.SigDoc(99L, sigA)), s3,
+      4, 0.5, 3, None).isEmpty)
+    assert(s3.get.size == 3)
+
+    // TTL expiry forgets the bucket
+    val s4 = st(Some(full), timedOut = true)
+    assert(Streaming.nearDupStep(Iterator.empty, s4, 4, 0.5, 3, Some("1 hours")).isEmpty)
+    assert(s4.isRemoved)
+  }
+
+  test("AQE skew-join splits the hub partition: skew=true in the final adaptive plan") {
+    import spark.implicits._
+    // the session enables skew splitting (north_rule) — this test PROVES
+    // the mechanism fires: a hub key owning ~99% of one side crosses the
+    // (lowered) split thresholds and the final adaptive plan must show
+    // the skew-split sort-merge join, not one monster task
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "524288",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1048576",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // payload = md5 strings: incompressible, so the hub's shuffle
+      // partition bytes genuinely cross the (lowered) split threshold
+      val left = spark.range(0, 300000).select(
+        when(pmod(col("id"), lit(100)) =!= 0, lit("hub"))
+          .otherwise(concat(lit("k"), pmod(col("id") / 100, lit(50)).cast("long"))).as("key"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = (Seq("hub") ++ (0 until 50).map(i => s"k$i"))
+        .toDF("key").withColumn("v", lit(1))
+      // GLOBAL aggregate after the join: a per-key aggregate would demand
+      // the join's hash partitioning and AQE (forceOptimizeSkewedJoin off)
+      // then declines to split; a partial-then-single-exchange global agg
+      // accepts any distribution, so the split is free to fire
+      val agg = left.join(right, "key").agg(count(lit(1)).as("n"), max("payload").as("m"))
+      // collect() (not count()) so THIS QueryExecution runs and its
+      // AdaptiveSparkPlan reaches isFinalPlan=true for inspection
+      val rows = agg.collect()
+      assert(rows.head.getLong(0) == 300000L)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition (no skew=true node):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("vacuum racing live committers never removes a referenced or in-flight file") {
     import spark.implicits._
     val root = tmpDir("iceberg_vacuum_race")
