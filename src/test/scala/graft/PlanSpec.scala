@@ -228,6 +228,25 @@ class PlanSpec extends AnyFunSuite {
       "band-join arming conf leaked into the caller session")
   }
 
+  test("kg_mentions_ngram: feature-model detection stays UDF- and window-free") {
+    val df = SparkEntry.queries("kg_mentions_ngram")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF"), s"UDF leaked into the feature-detect plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), s"bad shape:\n$p")
+    assert(p.contains("MapPartitions"), "batched detector missing")
+  }
+
+  test("q_docs_table_prune: zone-map-skipped files never reach the scan") {
+    val df = SparkEntry.queries("q_docs_table_prune")(spark, sf)
+    // the four range-commits wrote >= 4 files; the predicate keeps only
+    // the top ~40% of the doc_id domain, so the SCAN's input files must
+    // be a strict subset (skipping happens at planning, before Spark
+    // lists the files — inputFiles is the ground truth)
+    val scanned = df.inputFiles.length
+    assert(scanned >= 1 && scanned <= 2,
+      s"expected 1-2 surviving files after zone-map pruning, scan reads $scanned")
+  }
+
   test("custom as-of exec query plans as the merge operator, not a window") {
     val df = SparkEntry.queries("q_events_asof_exec")(spark, sf)
     df.collect()
