@@ -221,6 +221,20 @@ object SparkEntry {
         .withColumn("confidence", round(col("confidence"), 6))
         .orderBy("doc_id", "span_idx", "start")
     }),
+    "kg_mentions_partitioned" -> ((s, dir) => {
+      // the LARGE-GAZETTEER detect path under the gate: the gazetteer
+      // stays a DISTRIBUTED dataset (no broadcast) and candidates reach
+      // each sentence through the leading-bigram blocking-key equi-join;
+      // output must equal kg_mentions exactly, so it shares that oracle.
+      import s.implicits._
+      val (_, docs) = goldAndDocs(s, dir)
+      val sents = KgPipeline.sentences(docs).repartition(col("doc_id"))
+      graft.detect.Detector
+        .detectPartitionedGazetteer(sents, DocsGen.vocabEntries.toDS())
+        .toDF()
+        .withColumn("confidence", round(col("confidence"), 6))
+        .orderBy("doc_id", "span_idx", "start")
+    }),
     "kg_mentions_ngram" -> ((s, dir) => {
       // K2 FULL under the gate: the hashed n-gram + context-window
       // emission model is FIT DISTRIBUTED on the gold corpus (bounded
@@ -1663,6 +1677,11 @@ object SparkEntry {
     // pipeline; concept ids are RE-DERIVED in SQL via the same total order
     // as Lexicon.fromSurfaces; {CONF} is the measured kernel confidence)
     "kg_mentions" ->
+      s"""SELECT doc_id, span_idx, entity_type, text, "start", "end",
+         |  round({CONF}, 6) AS confidence
+         |FROM ${fx("gold_mentions")}
+         |ORDER BY doc_id, span_idx, "start"""".stripMargin,
+    "kg_mentions_partitioned" ->
       s"""SELECT doc_id, span_idx, entity_type, text, "start", "end",
          |  round({CONF}, 6) AS confidence
          |FROM ${fx("gold_mentions")}

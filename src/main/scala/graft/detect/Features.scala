@@ -78,7 +78,8 @@ object Features {
       dim: Int,
       weights: Array[Float],
       priors: Array[Float],
-      scale: Float) extends Serializable {
+      scale: Float,
+      unseen: Array[Float] = Array.empty) extends Serializable {
 
     /** Add this model's per-label scores for position `i` of `text`
       * (truncated length `n`) into `out`. `scratch` is a caller-owned
@@ -186,11 +187,11 @@ object Features {
       math.log((nPos(y) + alpha) / (totalPos + alpha * L)).toFloat
     }
     val weights = new Array[Float](dim * L)
+    val unseenArr = Array.tabulate(L)(y => math.log(alpha / (nFeat(y) + alpha * dim)).toFloat)
     var y = 0
     while (y < L) {
-      val unseen = math.log(alpha / (nFeat(y) + alpha * dim)).toFloat
       var b = 0
-      while (b < dim) { weights(b * L + y) = unseen; b += 1 }
+      while (b < dim) { weights(b * L + y) = unseenArr(y); b += 1 }
       y += 1
     }
     counts.foreach { case (key, c) =>
@@ -200,7 +201,7 @@ object Features {
         weights(b.toInt * L + yy) =
           math.log((c + alpha) / (nFeat(yy) + alpha * dim)).toFloat
     }
-    FeatureModel(dim, weights, priors, scale)
+    FeatureModel(dim, weights, priors, scale, unseenArr)
   }
 
   /** DISTRIBUTED fit: one narrow flatMap, one `groupBy(key).count()`
@@ -228,6 +229,54 @@ object Features {
       .collect()
       .toMap
     fromCounts(counts, dim, alpha, scale)
+  }
+
+  /** Persist a fitted model as a SPARSE parquet table: one row per
+    * (bucket, label) cell that differs from its label's smoothed-zero
+    * weight, plus a metadata row (bucket −1) carrying dim/scale/priors/
+    * unseen — the "weights fit OFFLINE" surface (SURVEY §3.3): fit once
+    * on the training corpus, [[load]] in every detection job.
+    */
+  def save(model: FeatureModel, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    require(model.unseen.length == L, "save needs a model carrying its unseen weights (from fit/fitLocal)")
+    val unseen = model.unseen
+    val cells = for {
+      b <- (0 until model.dim).iterator
+      y <- (0 until L).iterator
+      w = model.weights(b * L + y)
+      if w != unseen(y)
+    } yield (b, y, w)
+    val meta = Iterator((-1, model.dim, model.scale, model.priors.toSeq, unseen.toSeq))
+      .map { case (b, d, sc, pr, un) => (b, 0, 0f, d, sc, pr, un) }
+    val cellDf = cells.map { case (b, y, w) =>
+      (b, y, w, 0, 0f, Seq.empty[Float], Seq.empty[Float])
+    }
+    spark.createDataset((cellDf ++ meta).toSeq)
+      .toDF("bucket", "label", "weight", "dim", "scale", "priors", "unseen")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Rebuild the exact model [[save]] wrote (bit-identical weights). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): FeatureModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("bucket", "label", "weight", "dim", "scale", "priors", "unseen")
+      .as[(Int, Int, Float, Int, Float, Seq[Float], Seq[Float])]
+      .collect()
+    val meta = rows.find(_._1 == -1).getOrElse(sys.error(s"no metadata row in $path"))
+    val (dim, scale, priors, unseen) = (meta._4, meta._5, meta._6.toArray, meta._7.toArray)
+    val weights = new Array[Float](dim * L)
+    var y = 0
+    while (y < L) {
+      var b = 0
+      while (b < dim) { weights(b * L + y) = unseen(y); b += 1 }
+      y += 1
+    }
+    rows.foreach { case (b, lab, w, _, _, _, _) =>
+      if (b >= 0) weights(b * L + lab) = w
+    }
+    FeatureModel(dim, weights, priors, scale, unseen)
   }
 
   /** SEQUENTIAL fit over in-memory sentences — the fixture/oracle path
