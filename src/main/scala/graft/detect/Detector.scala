@@ -207,29 +207,40 @@ object Detector {
     }
   }
 
-  /** Per-executor-JVM GazTrie memo keyed by broadcast id (the SignBands
-    * plane-memo pattern, r4 VERDICT "What's wrong" #2): at a UMLS-scale
-    * gazetteer (~10M surfaces) the trie is hundreds of MB and O(total
-    * chars) to build — rebuilding it per TASK multiplies that by every
-    * task on the executor, while this cache pays it once per JVM per
-    * broadcast. Bounded at [[TrieCacheMax]] entries (broadcast ids are
-    * monotone; evict the oldest) so long sessions broadcasting many
-    * gazetteers cannot leak tries.
+  /** Per-executor-JVM GazTrie memo (the SignBands plane-memo pattern, r4
+    * VERDICT "What's wrong" #2): at a UMLS-scale gazetteer (~10M
+    * surfaces) the trie is hundreds of MB and O(total chars) to build —
+    * rebuilding it per TASK multiplies that by every task on the
+    * executor, while this cache pays it once per JVM per broadcast.
+    *
+    * Keyed by the IDENTITY of the broadcast VALUE, weakly: the torrent
+    * broadcast block is cached once per executor, so every task of a
+    * context sees the same Gazetteer instance (one build), while a
+    * broadcast id would be UNSAFE across SparkContext restarts in one
+    * JVM (the id counter resets, so a recycled id would serve a stale
+    * trie from the previous context's gazetteer). Weak keys make eviction
+    * exact: when the broadcast block is dropped, its trie follows — no
+    * manual LRU bound, no leak across many gazetteers.
     */
-  private val TrieCacheMax = 4
-  private val trieCache =
-    new java.util.LinkedHashMap[Long, GazTrie](8, 0.75f, false) {
-      override def removeEldestEntry(e: java.util.Map.Entry[Long, GazTrie]): Boolean =
-        size() > TrieCacheMax
-    }
+  private val trieCache: java.util.concurrent.ConcurrentMap[Gazetteer, GazTrie] =
+    new com.google.common.collect.MapMaker().weakKeys().makeMap[Gazetteer, GazTrie]()
 
-  def trieFor(gazBc: Broadcast[Gazetteer]): GazTrie = trieCache.synchronized {
-    val cached = trieCache.get(gazBc.id)
-    if (cached != null) cached
-    else {
-      val t = GazTrie(gazBc.value)
-      trieCache.put(gazBc.id, t)
-      t
+  def trieFor(gazBc: Broadcast[Gazetteer]): GazTrie = {
+    val g = gazBc.value
+    val hit = trieCache.get(g)
+    if (hit != null) hit
+    else trieCache.synchronized {
+      // double-checked: a stage launch puts many tasks here at once, and
+      // ConcurrentMap.computeIfAbsent's default impl may run the builder
+      // concurrently (first observed as 4 builds for 16 tasks) — the
+      // whole point is ONE O(total-chars) build per JVM
+      val again = trieCache.get(g)
+      if (again != null) again
+      else {
+        val t = GazTrie(g)
+        trieCache.put(g, t)
+        t
+      }
     }
   }
 
@@ -256,7 +267,14 @@ object Detector {
     private val conf = new Array[Double](maxLen)
     private val sb = new StringBuilder
 
-    def detect(s: Sentence): Seq[Mention] = {
+    def detect(s: Sentence): Seq[Mention] = detectWith(s, gaz, trie)
+
+    /** [[detect]] against a CALLER-SUPPLIED gazetteer/trie, reusing this
+      * kernel's scratch buffers — the per-sentence mini-gazetteer path
+      * ([[detectPartitionedGazetteer]]) swaps tiny tries per sentence
+      * without re-allocating the maxLen×L matrices each time.
+      */
+    def detectWith(s: Sentence, g: Gazetteer, t: GazTrie): Seq[Mention] = {
       val text = s.text
       val n = math.min(text.length, maxLen)
       if (n == 0) return Nil
@@ -270,10 +288,10 @@ object Detector {
       }
       i = 0
       while (i < n) {
-        // bound the trie scan by gaz.maxLen so this kernel and the
+        // bound the trie scan by g.maxLen so this kernel and the
         // map-probe kernel (emissions()) agree on surfaces longer than the
         // gazetteer cap (they must stay interchangeable)
-        val packed = trie.longestMatch(text, i, math.min(i + gaz.maxLen, n))
+        val packed = t.longestMatch(text, i, math.min(i + g.maxLen, n))
         if (packed != 0L) {
           val m = (packed >>> 32).toInt
           val t = (packed & 0xFFFFFFFFL).toInt
@@ -596,9 +614,13 @@ object Detector {
     val candidates = keys.join(gazKeyed, Seq("gkey"))
       .select(col("doc_id"), col("span_idx"), col("surface"), col("entity_type"))
 
-    // bring the text back, verify containment, group per sentence
+    // Bring the text back and group per sentence. Containment is checked
+    // INSIDE the group function, not as a pre-group filter: a filter
+    // would delete a sentence entirely when every one of its candidates
+    // shares a leading bigram but fails containment, silently dropping
+    // that sentence's feature-model-only detections (the left-outer null
+    // row only exists when NO candidate joined at all).
     val joined = sdf.join(candidates, Seq("doc_id", "span_idx"), "left_outer")
-      .filter(col("surface").isNull || instr(col("text"), col("surface")) > 0)
       .select(col("doc_id"), col("span_idx"), col("text"), col("surface"), col("entity_type"))
       .as[(String, Int, String, Option[String], Option[String])]
 
@@ -611,14 +633,34 @@ object Detector {
         val entries = Seq.newBuilder[(String, String)]
         rows.foreach { case (_, _, t, surf, tpe) =>
           text = t
-          if (surf.isDefined) entries += ((surf.get, tpe.get))
+          // containment verify (candidates are leading-bigram matches)
+          if (surf.isDefined && t.contains(surf.get)) entries += ((surf.get, tpe.get))
         }
-        val kernel = new Kernel(
-          Gazetteer(entries.result()), maxLen, trans,
-          if (featsLocal == null) null else featsLocal.value)
-        kernel.detect(Sentence(d, sp, text))
+        // DETERMINISTIC mini-gazetteer: shuffle arrival order must not
+        // decide how a duplicated surface with conflicting types resolves
+        // (sorted, so the last (surface, type) pair wins reproducibly)
+        val mini = Gazetteer(entries.result().sorted)
+        // one kernel (scratch matrices) per task thread; only the tiny
+        // per-sentence trie differs between groups. Keyed by the task
+        // closure's parameter identities; bounded (threads are pooled
+        // across tasks, each task deserializes fresh parameter objects)
+        val cache = PartitionedKernels.get()
+        if (cache.size > 8) cache.clear()
+        val kernel = cache
+          .getOrElseUpdate((maxLen, trans, featsLocal), new Kernel(
+            Gazetteer(Nil), maxLen, trans,
+            if (featsLocal == null) null else featsLocal.value))
+        kernel.detectWith(Sentence(d, sp, text), mini, GazTrie(mini))
       }
   }
+
+  /** Per-thread kernel reuse for the partitioned-gazetteer path: the
+    * maxLen×L scratch matrices are allocated once per task thread, not
+    * once per sentence (the mini-trie is the only per-sentence state).
+    */
+  private val PartitionedKernels =
+    ThreadLocal.withInitial[scala.collection.mutable.Map[Any, Kernel]](
+      () => scala.collection.mutable.Map.empty)
 
   /** Gold-emission variant: tags are given (parity-by-construction path for
     * fixture/eval corpora — SURVEY.md §7.3). Runs the same Viterbi over

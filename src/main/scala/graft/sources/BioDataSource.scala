@@ -183,8 +183,14 @@ case class BioScan(
     * reference corpus — an order-of-magnitude row estimate is all the
     * join planner needs.
     */
+  // lazy: Catalyst may request relation statistics several times while
+  // planning one query (join reorder/CBO) — the file census (a LIST call
+  // per request on an object store) is paid once per scan instance
+  private lazy val censusBytes: Long =
+    BioFiles.list(path, GraftSqlBridge.activeHadoopConf()).map(_.getLen).sum
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val bytes = BioFiles.list(path, GraftSqlBridge.activeHadoopConf()).map(_.getLen).sum
+    val bytes = censusBytes
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =

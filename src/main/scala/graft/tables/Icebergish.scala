@@ -539,12 +539,23 @@ object Icebergish {
     val id = snapshot
       .orElse(currentSnapshotId(spark, root))
       .getOrElse(sys.error(s"no current snapshot in $root"))
-    // group the EFFECTIVE files (replace-mode removals applied) by the
-    // snapshot that added them, so each group reads with its own basePath
-    val bySnap = effectiveFiles(chainOf(spark, root, id))
-      .groupBy(_._2).toSeq.sortBy(_._1.id)
-    val parts = bySnap.collect { case (s, files) if files.nonEmpty =>
-      val paths = files.map(_._1).map(p => s"$root/$p")
+    readFileGroups(spark, root, effectiveFiles(chainOf(spark, root, id)))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Build the DataFrame over a (file, owning-snapshot) set — the ONE
+    * reader-construction path shared by [[read]] and [[readPruned]]
+    * (grouped by snapshot so each group reads with its own basePath;
+    * groups aligned with `unionByName(allowMissingColumns)` for schema
+    * evolution). None = no files.
+    */
+  private def readFileGroups(
+      spark: SparkSession,
+      root: String,
+      files: Seq[(String, Snapshot)]): Option[DataFrame] = {
+    val bySnap = files.groupBy(_._2).toSeq.sortBy(_._1.id)
+    val parts = bySnap.collect { case (s, fsOfSnap) if fsOfSnap.nonEmpty =>
+      val paths = fsOfSnap.map(_._1).map(p => s"$root/$p")
       val f = fs(spark, root)
       val reader =
         if (s.partitionBy.nonEmpty)
@@ -553,10 +564,9 @@ object Icebergish {
         else spark.read
       reader.parquet(paths: _*)
     }
-    if (parts.isEmpty) spark.emptyDataFrame
     // allowMissingColumns: schema evolution — a snapshot written before a
     // column was added reads as null for that column
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Split the snapshot's effective file set by the manifest zone maps:
@@ -628,7 +638,12 @@ object Icebergish {
               case s: String => s
               case _ => return None
             }
-            Some(bound.toString.compareTo(l))
+            // UTF-8 BINARY order, matching Spark's min/max over strings
+            // (UTF8String compares bytes): java.lang.String.compareTo is
+            // UTF-16 code-unit order, which sorts supplementary chars
+            // BELOW U+E000..U+FFFF and would wrongly prune files whose
+            // bounds involve them
+            Some(utf8Compare(bound.toString, l))
           case _ => None
         }
       } catch { case _: NumberFormatException => None }
@@ -675,6 +690,22 @@ object Icebergish {
     }
   }
 
+  /** Unsigned lexicographic compare of the UTF-8 encodings — the order
+    * Spark's UTF8String (and hence string min/max statistics) uses.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** [[read]] + manifest data skipping: semantically identical to
     * `read(spark, root, snapshot).filter(predicate)`, but files whose
     * zone maps refute the predicate never reach the scan at all — the
@@ -689,22 +720,9 @@ object Icebergish {
       predicate: org.apache.spark.sql.Column,
       snapshot: Option[Long] = None): DataFrame = {
     val (kept, _) = pruneFiles(spark, root, predicate, snapshot)
-    val f = fs(spark, root)
-    val bySnap = kept.groupBy(_._2).toSeq.sortBy(_._1.id)
-    val parts = bySnap.collect { case (s, files) if files.nonEmpty =>
-      val paths = files.map(_._1).map(p => s"$root/$p")
-      val reader =
-        if (s.partitionBy.nonEmpty)
-          spark.read.option("basePath",
-            f.makeQualified(new Path(root, s.dataDir.getOrElse(s"data/snap-${s.id}"))).toString)
-        else spark.read
-      reader.parquet(paths: _*)
-    }
-    val base =
-      if (parts.isEmpty)
-        read(spark, root, snapshot).limit(0) // keep the schema
-      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    base.filter(predicate)
+    readFileGroups(spark, root, kept)
+      .getOrElse(read(spark, root, snapshot).limit(0)) // keep the schema
+      .filter(predicate)
   }
 
   def exists(spark: SparkSession, root: String): Boolean =
@@ -880,11 +898,35 @@ object Icebergish {
     // an ungraced sweep racing a live commit would delete data the
     // about-to-install manifest references — data loss. The grace also
     // covers vacuum's own list-then-delete window against a commit that
-    // lands in between (its fresh dir is young). A dir's mtime is its
-    // last staging write; only crash leftovers age past the grace.
+    // lands in between (its fresh dir is young).
+    //
+    // Age = NEWEST mtime anywhere under the dir, not the top dir's: a
+    // long parquet write lands task files under _temporary/…, which does
+    // not touch the top dir's mtime — judged by the top dir alone, a
+    // write running longer than the grace would look like an aged crash
+    // leftover while still in flight. Recursion costs are bounded: only
+    // UNREFERENCED dirs (rare — crash leftovers and in-flight stages)
+    // are walked.
+    def newestMtime(p: Path): Long =
+      try {
+        var newest = f.getFileStatus(p).getModificationTime
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val t = it.next().getModificationTime
+          if (t > newest) newest = t
+        }
+        newest
+      } catch {
+        // entries vanish mid-walk when the dir belongs to a LIVE commit
+        // (task temps renamed under us) — exactly the dirs the grace
+        // exists to protect; treat as just-written. NonFatal, not just
+        // IOException: RawLocalFileSystem surfaces a vanished entry as a
+        // RuntimeException from its shelled-out permission probe.
+        case scala.util.control.NonFatal(_) => Long.MaxValue
+      }
     f.listStatus(dDir).toSeq
       .filter(st => !referenced(st.getPath.getName) &&
-        now - st.getModificationTime > graceMs)
+        now - newestMtime(st.getPath) > graceMs)
       .map { st => f.delete(st.getPath, true); st.getPath.getName } ++
       tmpManifests ++ brokenLocks
   }

@@ -104,6 +104,50 @@ class IcebergStatsSpec extends AnyFunSuite {
     assert(Icebergish.readPruned(spark, root, col("k") > 0L).count() == 0L)
   }
 
+  test("string bounds compare in UTF-8 binary order (supplementary chars never mis-prune)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // U+1F600 sorts ABOVE U+FFFF in UTF-8 binary (Spark's min/max order)
+    // but BELOW it in UTF-16 code-unit order — a java String.compareTo
+    // evaluator would see max < "￿" and wrongly prune the file
+    val smiley = new String(Character.toChars(0x1F600))
+    Icebergish.commit(
+      Seq(("￿", 1L), (smiley, 2L)).toDF("s", "v").coalesce(1),
+      root, statsColumns = Seq("s"))
+    assert(Icebergish.pruneFiles(spark, root, col("s") === "￿")._2.isEmpty,
+      "file containing a matching row was pruned (UTF-16 comparison bug)")
+    assert(Icebergish.readPruned(spark, root, col("s") === "￿").count() == 1L)
+    // and genuine refutation still works above the true (binary) max
+    assert(Icebergish.readPruned(spark, root, col("s") > smiley).count() == 0L)
+    assert(Icebergish.pruneFiles(spark, root, col("s") > smiley)._2.nonEmpty)
+  }
+
+  test("vacuum judges staging age by the NEWEST nested mtime, not the top dir") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Icebergish.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a LONG-RUNNING in-flight write: the staged top dir is old
+    // (created at job start) but a task file landed recently
+    f.mkdirs(new org.apache.hadoop.fs.Path(root, "data/snap-5-longwrite/_temporary"))
+    f.create(new org.apache.hadoop.fs.Path(
+      root, "data/snap-5-longwrite/_temporary/part-0.parquet"), true).close()
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-5-longwrite"), old)
+    assert(!Icebergish.vacuum(spark, root).contains("snap-5-longwrite"),
+      "in-flight long write swept because only the top dir aged")
+    // once EVERYTHING inside has aged past the grace it is a crash leftover
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-5-longwrite/_temporary/part-0.parquet"), old)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-5-longwrite/_temporary"), old)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-5-longwrite"), old)
+    assert(Icebergish.vacuum(spark, root).contains("snap-5-longwrite"))
+  }
+
   test("time travel + pruning compose") {
     val root = tmpRoot()
     val s1 = commitRange(root, 0, 100)

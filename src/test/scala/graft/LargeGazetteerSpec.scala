@@ -67,6 +67,33 @@ class LargeGazetteerSpec extends AnyFunSuite {
     assert(b == a)
   }
 
+  test("a sentence whose every candidate fails containment keeps its feature-only detections") {
+    // r5 review finding: the old pre-group containment FILTER deleted the
+    // whole sentence when all its candidates shared a leading bigram but
+    // failed containment — silently dropping feature-model-only mentions.
+    import spark.implicits._
+    val train = Seq(
+      ("患者有高血压病史", Seq((3, 7, "Diseases"))),
+      ("诊断为糖尿病", Seq((3, 6, "Diseases")))).map { case (text, spans) =>
+      val tags = Array.fill(text.length)("O")
+      spans.foreach { case (s, e, t) =>
+        tags(s) = "B-" + t
+        (s + 1 until e).foreach(k => tags(k) = "I-" + t)
+      }
+      (text.map(_.toString), tags.toSeq)
+    }
+    val model = graft.detect.Features.fitLocal(train, dim = 1024)
+    val featsBc = spark.sparkContext.broadcast(model)
+    val sents = Seq(graft.core.Sentence("d1", 0, "患者有糖尿病史")).toDS()
+    // the ONLY gazetteer surface shares the sentence's 糖尿 bigram but is
+    // NOT contained — its candidate row joins, then fails containment
+    val gaz = Seq(("糖尿X", "Diseases")).toDS()
+    val got = Detector.detectPartitionedGazetteer(sents, gaz, featsBc = featsBc)
+      .collect().map(m => (m.entity_type, m.text, m.start, m.end)).toSeq
+    assert(got == Seq(("Diseases", "糖尿病", 3, 6)),
+      s"feature-only detection lost on an all-candidates-fail sentence: $got")
+  }
+
   test("1M-surface gazetteer: detection output unchanged, trie built once") {
     // 1M decoy surfaces over a Latin alphabet disjoint from the corpus'
     // char inventory: they can never match, so output must equal the

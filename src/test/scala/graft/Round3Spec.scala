@@ -257,12 +257,15 @@ class Round3Spec extends AnyFunSuite {
     val orphan = new org.apache.hadoop.fs.Path(root, "data/snap-9-deadbeef")
     f.mkdirs(orphan)
     f.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true).close()
-    // a CRASHED stage is old by definition; age it past the vacuum grace
+    // a CRASHED stage is old by definition; age it (dir AND contents —
+    // vacuum judges by the newest mtime anywhere inside) past the grace
     // (a fresh unreferenced dir is, by contract, an in-flight commit's
     // staging and must survive — see the r5 vacuum-concurrency test)
+    val aged = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
     java.nio.file.Files.setLastModifiedTime(
-      java.nio.file.Paths.get(root, "data/snap-9-deadbeef"),
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+      java.nio.file.Paths.get(root, "data/snap-9-deadbeef/part-0.parquet"), aged)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-9-deadbeef"), aged)
 
     val removed = Icebergish.vacuum(spark, root)
     assert(removed == Seq("snap-9-deadbeef"))

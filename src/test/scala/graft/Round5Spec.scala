@@ -159,6 +159,7 @@ class Round5Spec extends AnyFunSuite {
     val opsPerThread = 4
     val losses = new java.util.concurrent.atomic.AtomicInteger(0)
     val vacuumErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumErrorMsgs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val vacuumRemoved = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -168,9 +169,11 @@ class Round5Spec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.mkdirs(new org.apache.hadoop.fs.Path(root, "data/snap-7-oldcrash"))
     f.create(new org.apache.hadoop.fs.Path(root, "data/snap-7-oldcrash/part-0.parquet"), true).close()
+    val aged = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
     java.nio.file.Files.setLastModifiedTime(
-      java.nio.file.Paths.get(root, "data/snap-7-oldcrash"),
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+      java.nio.file.Paths.get(root, "data/snap-7-oldcrash/part-0.parquet"), aged)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "data/snap-7-oldcrash"), aged)
     f.mkdirs(new org.apache.hadoop.fs.Path(root, "data/snap-8-inflight"))
     f.create(new org.apache.hadoop.fs.Path(root, "data/snap-8-inflight/part-0.parquet"), true).close()
 
@@ -180,7 +183,10 @@ class Round5Spec extends AnyFunSuite {
         def call(): Unit =
           while (!stop.get()) {
             try Icebergish.vacuum(spark, root).foreach(vacuumRemoved.add)
-            catch { case _: Exception => vacuumErrors.incrementAndGet() }
+            catch { case e: Exception =>
+              vacuumErrors.incrementAndGet()
+              vacuumErrorMsgs.add(e.getClass.getName + ": " + String.valueOf(e.getMessage).take(160))
+            }
             Thread.sleep(20)
           }
       })
@@ -202,7 +208,7 @@ class Round5Spec extends AnyFunSuite {
       vacuumFut.get()
     } finally pool.shutdown()
 
-    assert(vacuumErrors.get() == 0, s"vacuum threw ${vacuumErrors.get()} times")
+    assert(vacuumErrors.get() == 0, s"vacuum threw ${vacuumErrors.get()} times: $vacuumErrorMsgs")
     // every committed row is readable — no in-flight stage was swept
     val got = Icebergish.read(spark, root).select("id").as[Int].collect().toSet
     assert(got == (for (t <- 0 until threads; i <- 0 until opsPerThread) yield t * 1000 + i).toSet,
