@@ -30,7 +30,9 @@ object Main {
       dumpDocs: Boolean = false,
       predict: String = "",
       evalGold: String = "",
-      evalPred: String = "")
+      evalPred: String = "",
+      ngramFit: String = "",
+      ngramModel: String = "")
 
   def parse(argv: Array[String]): Args =
     argv.sliding(2, 2).foldLeft(Args()) {
@@ -47,6 +49,8 @@ object Main {
       case (a, Array("--predict", v)) => a.copy(predict = v)
       case (a, Array("--eval", v)) => a.copy(evalGold = v)
       case (a, Array("--eval-pred", v)) => a.copy(evalPred = v)
+      case (a, Array("--ngram-fit", v)) => a.copy(ngramFit = v)
+      case (a, Array("--ngram-model", v)) => a.copy(ngramModel = v)
       case (a, Array(flag, _)) => sys.error(s"unknown flag: $flag"); a
       case (a, _) => a
     }
@@ -69,6 +73,23 @@ object Main {
     import spark.implicits._
 
     val t0 = System.nanoTime()
+    if (args.ngramFit.nonEmpty) {
+      // OFFLINE FIT mode (the K2-full training command): fit the hashed
+      // n-gram emission model on a gold BIO corpus and persist it to
+      // --out; later runs load it with --ngram-model for detection of
+      // surfaces absent from the gazetteer.
+      val corpus = graft.data.BioCorpus.read(spark, args.ngramFit)
+      val model = graft.detect.Features.fit(corpus)
+      graft.detect.Features.save(model, spark, args.out)
+      println(s"graft-ngram-fit: dim=${model.dim} from ${args.ngramFit} -> ${args.out} " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
+    val featsBc =
+      if (args.ngramModel.isEmpty) null
+      else spark.sparkContext.broadcast(
+        graft.detect.Features.load(spark, args.ngramModel))
     if (args.evalGold.nonEmpty) {
       // Evaluation mode — the reference's evaluate.py artifact flow over
       // (gold BIO, predicted BIO): classification_report.txt (byte-for-
@@ -130,7 +151,7 @@ object Main {
       val sentences = graft.data.BioCorpus.readRawText(spark, args.docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gazBc = graft.detect.Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)
-      val mentions = graft.detect.Detector.detect(sentences, gazBc)
+      val mentions = graft.detect.Detector.detect(sentences, gazBc, featsBc = featsBc)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       formats.foreach { fmt =>
         val (df, column) = fmt match {
@@ -202,7 +223,8 @@ object Main {
         graft.tables.Icebergish.read(spark, s"${args.out}/triples").count()
       else 0L
     } else {
-      val triples = KgPipeline.run(docs, lex, args.partitions)
+      val triples = KgPipeline.run(docs, lex, args.partitions,
+        feats = Option(featsBc).map(_.value))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (args.explain) triples.explain("formatted")
       if (args.out.startsWith("iceberg:")) {

@@ -78,8 +78,9 @@ object KgPipeline {
   def run(
       docs: Dataset[Doc],
       lexicon: Dataset[LexiconEntry],
-      numPartitions: Int = 0): Dataset[Triple] =
-    runWithCleanup(docs, lexicon, numPartitions)._1
+      numPartitions: Int = 0,
+      feats: Option[graft.detect.Features.FeatureModel] = None): Dataset[Triple] =
+    runWithCleanup(docs, lexicon, numPartitions, feats)._1
 
   /** [[run]] plus a cleanup thunk that unpersists the pipeline's internal
     * caches — call it once the returned triples have been materialized
@@ -88,7 +89,8 @@ object KgPipeline {
   def runWithCleanup(
       docs: Dataset[Doc],
       lexicon: Dataset[LexiconEntry],
-      numPartitions: Int = 0): (Dataset[Triple], () => Unit) = {
+      numPartitions: Int = 0,
+      feats: Option[graft.detect.Features.FeatureModel] = None): (Dataset[Triple], () => Unit) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val gaz = Lexicon.gazetteerEntries(lexicon)
@@ -98,7 +100,7 @@ object KgPipeline {
     // MEMORY_AND_DISK: mentions spill to disk rather than re-detecting.
     // Callers release it via unpersist/clearCache when the returned triples
     // have been consumed (Verify/Bench clear the cache per query).
-    val mentions = detectMentions(docs, gaz, numPartitions)
+    val mentions = detectMentions(docs, gaz, numPartitions, feats)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // surface-level link resolution: the distinct (text, type) set is
     // vocabulary-bounded, so linking it once and broadcasting the result

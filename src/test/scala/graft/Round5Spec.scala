@@ -108,6 +108,39 @@ class Round5Spec extends AnyFunSuite {
     assert(s4.isRemoved)
   }
 
+  test("CLI: ngram fit-then-load equals an in-process fit; flags parse") {
+    import spark.implicits._
+    val a = graft.cli.Main.parse(Array(
+      "--ngram-fit", "/x/train.txt", "--out", "/x/model"))
+    assert(a.ngramFit == "/x/train.txt" && a.out == "/x/model")
+    assert(graft.cli.Main.parse(Array("--ngram-model", "/m")).ngramModel == "/m")
+
+    // the CLI's fit→save→load chain (Main.main stops the shared session,
+    // so exercise the same calls it makes): detection with the loaded
+    // model recovers an OFF-GAZETTEER surface end-to-end
+    val bio = java.nio.file.Files.createTempDirectory("cli_ngram").resolve("train.txt")
+    def block(text: String, s: Int, e: Int, tpe: String): String =
+      text.zipWithIndex.map { case (c, i) =>
+        val tag = if (i == s) "B-" + tpe else if (i > s && i < e) "I-" + tpe else "O"
+        s"$c $tag"
+      }.mkString("\n")
+    java.nio.file.Files.writeString(bio, Seq(
+      block("患者有乙型肝炎病史", 3, 7, "Diseases"),
+      block("乙型肝炎患者复查", 0, 4, "Diseases"),
+      block("诊断为乙型肝炎", 3, 7, "Diseases")).mkString("\n\n") + "\n")
+    val modelPath = java.nio.file.Files.createTempDirectory("cli_model").toString + "/m"
+    val fitted = graft.detect.Features.fit(graft.data.BioCorpus.read(spark, bio.toString))
+    graft.detect.Features.save(fitted, spark, modelPath)
+    val loaded = graft.detect.Features.load(spark, modelPath)
+    val gazBc = graft.detect.Detector.broadcastGazetteer(spark, graft.data.DocsGen.vocabEntries)
+    val got = graft.detect.Detector.detect(
+      Seq(graft.core.Sentence("p1", 0, "患者有乙型肝炎病史")).toDS(),
+      gazBc, featsBc = spark.sparkContext.broadcast(loaded))
+      .collect().map(m => (m.entity_type, m.text)).toSeq
+    assert(got.contains(("Diseases", "乙型肝炎")),
+      s"off-gazetteer surface not recovered through the persisted model: $got")
+  }
+
   test("AQE skew-join splits the hub partition: skew=true in the final adaptive plan") {
     import spark.implicits._
     // the session enables skew splitting (north_rule) — this test PROVES
