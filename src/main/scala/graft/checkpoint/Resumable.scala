@@ -96,7 +96,8 @@ object Resumable {
       runId: String,
       failAfterChunks: Int = Int.MaxValue,
       stagingDir: Option[String] = None,
-      jobId: String = "kg"): Seq[ChunkProgress] = {
+      jobId: String = "kg",
+      feats: Option[graft.detect.Features.FeatureModel] = None): Seq[ChunkProgress] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -161,7 +162,7 @@ object Resumable {
         .head()
       val nDocs = statsRow.getLong(0)
       val inputHash = statsRow.getDecimal(1)
-      val (chunkTriples, cleanup) = KgPipeline.runWithCleanup(chunkDocs, lexicon)
+      val (chunkTriples, cleanup) = KgPipeline.runWithCleanup(chunkDocs, lexicon, feats = feats)
       val triples = chunkTriples
         .withColumn("chunk", lit(chunk))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

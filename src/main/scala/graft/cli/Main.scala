@@ -86,10 +86,11 @@ object Main {
       spark.stop()
       return
     }
-    val featsBc =
-      if (args.ngramModel.isEmpty) null
-      else spark.sparkContext.broadcast(
-        graft.detect.Features.load(spark, args.ngramModel))
+    // loaded once; each consuming path broadcasts it exactly once (the
+    // KG pipeline broadcasts internally, so no double broadcast here)
+    val featsOpt: Option[graft.detect.Features.FeatureModel] =
+      if (args.ngramModel.isEmpty) None
+      else Some(graft.detect.Features.load(spark, args.ngramModel))
     if (args.evalGold.nonEmpty) {
       // Evaluation mode — the reference's evaluate.py artifact flow over
       // (gold BIO, predicted BIO): classification_report.txt (byte-for-
@@ -151,7 +152,8 @@ object Main {
       val sentences = graft.data.BioCorpus.readRawText(spark, args.docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gazBc = graft.detect.Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)
-      val mentions = graft.detect.Detector.detect(sentences, gazBc, featsBc = featsBc)
+      val mentions = graft.detect.Detector.detect(sentences, gazBc,
+        featsBc = featsOpt.map(spark.sparkContext.broadcast(_)).orNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       formats.foreach { fmt =>
         val (df, column) = fmt match {
@@ -195,7 +197,7 @@ object Main {
       require(!args.docs.startsWith("synth:"), "--stream-kg needs a docs directory")
       val q = graft.streaming.Streaming.kgStream(
         graft.streaming.Streaming.docsStream(spark, args.docs), lex,
-        s"${args.out}/triples", s"${args.out}/checkpoint")
+        s"${args.out}/triples", s"${args.out}/checkpoint", feats = featsOpt)
       q.awaitTermination()
       if (graft.tables.Icebergish.exists(spark, s"${args.out}/triples"))
         graft.tables.Icebergish.read(spark, s"${args.out}/triples").count()
@@ -207,7 +209,8 @@ object Main {
       val gazBc = graft.detect.Detector.broadcastGazetteer(spark, DocsGen.vocabEntries)
       val q = graft.streaming.Streaming.availableNowToParquet(
         graft.streaming.Streaming.detectStream(
-          graft.streaming.Streaming.docsStream(spark, args.docs), gazBc),
+          graft.streaming.Streaming.docsStream(spark, args.docs), gazBc,
+          featsBc = featsOpt.map(spark.sparkContext.broadcast(_)).orNull),
         s"${args.out}/mentions", s"${args.out}/checkpoint")
       q.awaitTermination()
       spark.read.parquet(s"${args.out}/mentions").count()
@@ -216,15 +219,15 @@ object Main {
       // command resumes from the completed-chunk frontier
       val progress = graft.checkpoint.Resumable.run(
         docs, lex, s"${args.out}/triples", s"${args.out}/progress",
-        args.chunks, runId = java.util.UUID.randomUUID().toString)
+        args.chunks, runId = java.util.UUID.randomUUID().toString,
+        feats = featsOpt)
       println(s"graft-kg: ${progress.size} chunk(s) executed this run " +
         s"(${progress.map(_.chunk).mkString(",")})")
       if (graft.tables.Icebergish.exists(spark, s"${args.out}/triples"))
         graft.tables.Icebergish.read(spark, s"${args.out}/triples").count()
       else 0L
     } else {
-      val triples = KgPipeline.run(docs, lex, args.partitions,
-        feats = Option(featsBc).map(_.value))
+      val triples = KgPipeline.run(docs, lex, args.partitions, feats = featsOpt)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (args.explain) triples.explain("formatted")
       if (args.out.startsWith("iceberg:")) {

@@ -213,32 +213,36 @@ object Detector {
     * rebuilding it per TASK multiplies that by every task on the
     * executor, while this cache pays it once per JVM per broadcast.
     *
-    * Keyed by the IDENTITY of the broadcast VALUE, weakly: the torrent
-    * broadcast block is cached once per executor, so every task of a
-    * context sees the same Gazetteer instance (one build), while a
-    * broadcast id would be UNSAFE across SparkContext restarts in one
-    * JVM (the id counter resets, so a recycled id would serve a stale
-    * trie from the previous context's gazetteer). Weak keys make eviction
-    * exact: when the broadcast block is dropped, its trie follows — no
-    * manual LRU bound, no leak across many gazetteers.
+    * Keyed by (application id, broadcast id): the broadcast id alone is
+    * UNSAFE across SparkContext restarts in one JVM (its counter resets,
+    * so a recycled id would serve a stale trie from the previous
+    * context's gazetteer) — the app id disambiguates contexts. Keying by
+    * the broadcast VALUE's identity instead would tie the memo to block-
+    * manager residency: every eviction/re-materialization of the (large,
+    * eviction-prone) deserialized block would rebuild the trie. Bounded
+    * LRU so long sessions broadcasting many gazetteers cannot leak.
     */
-  private val trieCache: java.util.concurrent.ConcurrentMap[Gazetteer, GazTrie] =
-    new com.google.common.collect.MapMaker().weakKeys().makeMap[Gazetteer, GazTrie]()
+  private val TrieCacheMax = 4
+  private val trieCache =
+    new java.util.LinkedHashMap[(String, Long), GazTrie](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, Long), GazTrie]): Boolean =
+        size() > TrieCacheMax
+    }
 
   def trieFor(gazBc: Broadcast[Gazetteer]): GazTrie = {
-    val g = gazBc.value
-    val hit = trieCache.get(g)
-    if (hit != null) hit
-    else trieCache.synchronized {
-      // double-checked: a stage launch puts many tasks here at once, and
-      // ConcurrentMap.computeIfAbsent's default impl may run the builder
-      // concurrently (first observed as 4 builds for 16 tasks) — the
-      // whole point is ONE O(total-chars) build per JVM
-      val again = trieCache.get(g)
-      if (again != null) again
+    val appId =
+      Option(org.apache.spark.SparkEnv.get).map(_.conf.getAppId).getOrElse("")
+    val key = (appId, gazBc.id)
+    // coarse lock around the miss path ON PURPOSE: a stage launch puts
+    // many tasks here at once and the whole point is ONE O(total-chars)
+    // build per JVM (a lock-free computeIfAbsent ran the builder
+    // concurrently — observed as 4 builds for 16 tasks)
+    trieCache.synchronized {
+      val hit = trieCache.get(key)
+      if (hit != null) hit
       else {
-        val t = GazTrie(g)
-        trieCache.put(g, t)
+        val t = GazTrie(gazBc.value)
+        trieCache.put(key, t)
         t
       }
     }
@@ -590,7 +594,7 @@ object Detector {
       featsBc: Broadcast[Features.FeatureModel] = null): Dataset[Mention] = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, instr, length, substring}
+    import org.apache.spark.sql.functions.{col, length, substring}
 
     val sdf = sentences.toDF()
     // distinct leading keys per sentence (narrow; ids + tiny strings only)

@@ -60,7 +60,10 @@ object Streaming {
   /** The same sentence-explode + batched detector, applied to a stream —
     * stateless transformations compose identically in streaming plans.
     */
-  def detectStream(docs: Dataset[Doc], gazBc: Broadcast[Detector.Gazetteer]): Dataset[Mention] = {
+  def detectStream(
+      docs: Dataset[Doc],
+      gazBc: Broadcast[Detector.Gazetteer],
+      featsBc: Broadcast[graft.detect.Features.FeatureModel] = null): Dataset[Mention] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sentences = docs
@@ -68,7 +71,7 @@ object Streaming {
       .filter($"span.kind" === "text" && length($"span.text") > 0)
       .select($"doc_id", $"span_idx", $"span.text".as("text"))
       .as[Sentence]
-    Detector.detect(sentences, gazBc)
+    Detector.detect(sentences, gazBc, featsBc = featsBc)
   }
 
   /** Drain-available-now writer: processes everything currently in the
@@ -120,7 +123,8 @@ object Streaming {
       triplesRoot: String,
       checkpoint: String,
       compactEvery: Int = 0,
-      appId: Option[String] = None): StreamingQuery = {
+      appId: Option[String] = None,
+      feats: Option[graft.detect.Features.FeatureModel] = None): StreamingQuery = {
     val spark0 = docs.sparkSession
     val writerId = appId.getOrElse(
       java.lang.Long.toHexString(graft.core.Hashing.hashString(checkpoint)))
@@ -157,7 +161,8 @@ object Streaming {
         val done = tags.contains(tag) ||
           (adoptLegacyTags && tags.contains(s"batch-$batchId"))
         if (!done) {
-          val (triples, cleanup) = graft.pipeline.KgPipeline.runWithCleanup(batch, lexicon)
+          val (triples, cleanup) =
+            graft.pipeline.KgPipeline.runWithCleanup(batch, lexicon, feats = feats)
           graft.tables.Icebergish.commit(
             triples.toDF(), triplesRoot, "append", partitionBy = Seq("pred"), tag = Some(tag))
           cleanup()

@@ -690,21 +690,13 @@ object Icebergish {
     }
   }
 
-  /** Unsigned lexicographic compare of the UTF-8 encodings — the order
-    * Spark's UTF8String (and hence string min/max statistics) uses.
+  /** Unsigned lexicographic compare of the UTF-8 encodings — delegated
+    * to Spark's own UTF8String so the pruning order can never drift from
+    * the order the min/max statistics were computed in.
     */
-  private[graft] def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** [[read]] + manifest data skipping: semantically identical to
     * `read(spark, root, snapshot).filter(predicate)`, but files whose
@@ -909,12 +901,17 @@ object Icebergish {
     // are walked.
     def newestMtime(p: Path): Long =
       try {
+        // DIRECTORIES included (listStatus recursion, not listFiles): a
+        // staged write that has created _temporary/task-attempt dirs but
+        // no part files yet must still read as active — files-only
+        // recursion would fall back to the stale top-dir mtime
         var newest = f.getFileStatus(p).getModificationTime
-        val it = f.listFiles(p, true)
-        while (it.hasNext) {
-          val t = it.next().getModificationTime
-          if (t > newest) newest = t
-        }
+        def walk(d: Path): Unit =
+          f.listStatus(d).foreach { st =>
+            if (st.getModificationTime > newest) newest = st.getModificationTime
+            if (st.isDirectory) walk(st.getPath)
+          }
+        walk(p)
         newest
       } catch {
         // entries vanish mid-walk when the dir belongs to a LIVE commit

@@ -62,7 +62,11 @@ object MakeSf {
     write(copies(t("documents")) { (df, c) =>
       val shifted = shiftKeys("doc_id")(df, c)
       if (c == 0) shifted
-      else shifted.withColumn("text", concat(col("text"), lit(s" cpy$c")))
+      else shifted
+        .withColumn("text", concat(col("text"), lit(s" cpy$c")))
+        // keep the table self-consistent: n_chars must describe the
+        // salted text the operators actually process
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents", 4)
 
     write(copies(t("embeddings")) { (df, c) =>
