@@ -113,17 +113,22 @@ object Main {
         rows.filterNot(r => avgNames(r.entity_type)), micro,
         modelInfo = Seq("engine" -> "graft-spark"),
         evalInfo = Seq("sentences" -> gold.count())))
-      w("entity_performance.svg",
-        graft.sinks.Plots.entityMetricsSvg(rows.filterNot(r => avgNames(r.entity_type))))
+      val entitySvg = graft.sinks.Plots.entityMetricsSvg(rows.filterNot(r => avgNames(r.entity_type)))
+      w("entity_performance.svg", entitySvg)
+      graft.sinks.Png.writePng(entitySvg, outDir.resolve("entity_performance.png"))
       val conf = graft.metrics.SpanMetrics
         .confusion(graft.metrics.ReferenceEval.tokenPairs(gold, pred))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-      w("confusion_matrix.svg", graft.sinks.Plots.confusionHeatmapSvg(conf))
+      val confSvg = graft.sinks.Plots.confusionHeatmapSvg(conf)
+      w("confusion_matrix.svg", confSvg)
+      graft.sinks.Png.writePng(confSvg, outDir.resolve("confusion_matrix.png"))
       val dist = graft.metrics.LabelStats.labelDistribution(gold)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      w("label_distribution.svg", graft.sinks.Plots.labelDistributionSvg(dist))
+      val distSvg = graft.sinks.Plots.labelDistributionSvg(dist)
+      w("label_distribution.svg", distSvg)
+      graft.sinks.Png.writePng(distSvg, outDir.resolve("label_distribution.png"))
       println(f"graft-eval: P=${micro.precision}%.4f R=${micro.recall}%.4f F1=${micro.f1}%.4f " +
-        s"-> ${args.out}/{classification_report.txt,evaluation_results.json,*.svg}")
+        s"-> ${args.out}/{classification_report.txt,evaluation_results.json,*.svg,*.png}")
       spark.stop()
       return
     }

@@ -5,13 +5,14 @@ import graft.core.TypeMetrics
 /** S11 — plot sinks. The reference renders training curves, per-entity
   * metric bars, a confusion-matrix heatmap, and label-distribution bars
   * as matplotlib PNGs (`train_enhanced.py:454-473`,
-  * `evaluate.py:421-465,495-517`, `label_statistics.py:42-71`). This
-  * engine has no image codecs in its runtime by design, so the analog is
-  * deterministic, self-contained SVG — a text artifact any browser
-  * renders, byte-stable for golden tests, derived from the SAME
-  * oracle-checked metric tables (which remain the primary, queryable
-  * output; every figure here is a rendering of one of them, so the
-  * "table view" of each chart is a first-class query).
+  * `evaluate.py:421-465,495-517`, `label_statistics.py:42-71`). The
+  * primary analog is deterministic, self-contained SVG — a text artifact
+  * any browser renders, byte-stable for golden tests, derived from the
+  * SAME oracle-checked metric tables (which remain the primary,
+  * queryable output; every figure here is a rendering of one of them, so
+  * the "table view" of each chart is a first-class query). [[Png]]
+  * rasterizes these SVGs to real .png files through the JDK's headless
+  * raster (r5) — one chart logic, two encodings.
   *
   * Design rules applied (and deliberately boring): one axis per panel —
   * the reference's loss/F1 pair renders as two small multiples, never a
