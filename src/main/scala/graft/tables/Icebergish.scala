@@ -684,6 +684,16 @@ object Icebergish {
           case ("<=", Seq(l, r)) => binary(l, r, "<=", ">=")
           case (">", Seq(l, r)) => binary(l, r, ">", "<")
           case (">=", Seq(l, r)) => binary(l, r, ">=", "<=")
+          // col IN (v1, v2, ...) = OR of equalities over the bounds
+          case ("in", col +: values) if values.nonEmpty =>
+            colName(col) match {
+              case Some(n) =>
+                values.exists(v => litVal(v) match {
+                  case Some(lit) => test(n, lit, "=")
+                  case None => true // non-literal member → can't refute
+                })
+              case None => true
+            }
           case _ => true
         }
       case _ => true

@@ -104,6 +104,28 @@ class IcebergStatsSpec extends AnyFunSuite {
     assert(Icebergish.readPruned(spark, root, col("k") > 0L).count() == 0L)
   }
 
+  test("IN predicates prune as an OR of equalities over the bounds") {
+    val root = tmpRoot()
+    commitRange(root, 0, 100)
+    commitRange(root, 100, 200)
+    commitRange(root, 200, 300)
+    def check(pred: org.apache.spark.sql.Column): Unit = {
+      val a = Icebergish.readPruned(spark, root, pred).count()
+      val b = Icebergish.read(spark, root).filter(pred).count()
+      assert(a == b, s"pred=$pred pruned=$a scanned=$b")
+    }
+    // members in two of three commits: the third refutes and skips
+    val p1 = col("k").isin(50L, 250L)
+    assert(Icebergish.pruneFiles(spark, root, p1)._2.nonEmpty, "IN did not prune")
+    check(p1)
+    // no member in any range: everything skips
+    val p2 = col("k").isin(900L, 950L)
+    assert(Icebergish.readPruned(spark, root, p2).count() == 0L)
+    assert(Icebergish.pruneFiles(spark, root, p2)._1.isEmpty, "all files should refute")
+    // combined with a comparison
+    check(col("k").isin(50L, 150L, 250L) && col("k") >= 100L)
+  }
+
   test("string bounds compare in UTF-8 binary order (supplementary chars never mis-prune)") {
     import spark.implicits._
     val root = tmpRoot()
