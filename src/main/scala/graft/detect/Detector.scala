@@ -223,29 +223,49 @@ object Detector {
     * LRU so long sessions broadcasting many gazetteers cannot leak.
     */
   private val TrieCacheMax = 4
+  // SoftReference values (ADVICE r5, low): at UMLS scale a trie is
+  // hundreds of MB, and a hard-referenced LRU of 4 could pin over a GB
+  // of DEAD tries for the JVM lifetime after their gazetteers are
+  // unpersisted — soft refs let the GC reclaim them under pressure while
+  // keeping the memo warm in the steady state.
   private val trieCache =
-    new java.util.LinkedHashMap[(String, Long), GazTrie](8, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(String, Long), GazTrie]): Boolean =
+    new java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[GazTrie]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), java.lang.ref.SoftReference[GazTrie]]): Boolean =
         size() > TrieCacheMax
     }
+  // per-key build serialization (ADVICE r5, low): ONE O(total-chars)
+  // build per key per JVM (a lock-free computeIfAbsent ran the builder
+  // 4x for 16 tasks), WITHOUT the former coarse lock that made a miss on
+  // one gazetteer block every task needing a different, already-cached
+  // one for the whole build.
+  private val trieBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
 
   def trieFor(gazBc: Broadcast[Gazetteer]): GazTrie = {
     val appId =
       Option(org.apache.spark.SparkEnv.get).map(_.conf.getAppId).getOrElse("")
     val key = (appId, gazBc.id)
-    // coarse lock around the miss path ON PURPOSE: a stage launch puts
-    // many tasks here at once and the whole point is ONE O(total-chars)
-    // build per JVM (a lock-free computeIfAbsent ran the builder
-    // concurrently — observed as 4 builds for 16 tasks)
-    trieCache.synchronized {
-      val hit = trieCache.get(key)
-      if (hit != null) hit
+    def cached(): GazTrie = trieCache.synchronized {
+      val ref = trieCache.get(key)
+      if (ref == null) null else ref.get()
+    }
+    val hit = cached()
+    if (hit != null) return hit
+    val lock = trieBuildLocks.computeIfAbsent(key, _ => new Object)
+    try lock.synchronized {
+      // re-check under the per-key lock: the thread that lost the race
+      // finds the winner's trie instead of rebuilding
+      val again = cached()
+      if (again != null) again
       else {
         val t = GazTrie(gazBc.value)
-        trieCache.put(key, t)
+        trieCache.synchronized {
+          trieCache.put(key, new java.lang.ref.SoftReference(t))
+        }
         t
       }
-    }
+    } finally trieBuildLocks.remove(key, lock)
   }
 
   /** Per-task detector kernel with REUSABLE buffers: the hot path
@@ -270,6 +290,39 @@ object Detector {
     private val path = new Array[Int](maxLen)
     private val conf = new Array[Double](maxLen)
     private val sb = new StringBuilder
+    // Viterbi legal-predecessor lists (r6): for each target label j, the
+    // ascending list of predecessors k the BIO grammar permits
+    // (trans(k)(j) > -1e8). The inner max over the full L is replaced by
+    // a max over this list — with the 13-label grammar that is 2 preds
+    // for the six I- labels instead of 13 (~40% fewer dp ops). EXACT:
+    // every label has >= 1 legal predecessor whose dp is finite (B-/O
+    // are reachable from anywhere), while an illegal candidate scores
+    // dp + (-1e9) — at least ~1e8 below any legal score (|dp| and |em|
+    // are bounded by maxLen·max|weight| << 1e8) — so the restricted
+    // argmax equals the full argmax, including first-wins tie order
+    // (the list preserves ascending k).
+    private val legalPred: Array[Array[Int]] = Array.tabulate(L) { j =>
+      val ks = (0 until L).filter(k => trans(k)(j) > -1e8f)
+      if (ks.isEmpty) (0 until L).toArray else ks.toArray
+    }
+    // bit-identical exp memo: the emission patterns when feats == null
+    // take a handful of distinct values per corpus ({0, 2, 8} stamps),
+    // so softmax recomputes exp() of the same float arguments millions
+    // of times; a tiny open-addressed float->double cache returns the
+    // EXACT same doubles (same exp of same argument), never changing a
+    // confidence bit. NaN sentinel keys: a miss just recomputes.
+    private val expKeys = Array.fill(64)(Float.NaN)
+    private val expVals = new Array[Double](64)
+    private def expCached(x: Float): Double = {
+      val slot = (java.lang.Float.floatToRawIntBits(x) * 0x9E3779B9) >>> 26
+      if (expKeys(slot) == x) expVals(slot)
+      else {
+        val v = math.exp(x.toDouble)
+        expKeys(slot) = x
+        expVals(slot) = v
+        v
+      }
+    }
 
     def detect(s: Sentence): Seq[Mention] = detectWith(s, gaz, trie)
 
@@ -320,13 +373,15 @@ object Detector {
       while (i < n) {
         j = 0
         while (j < L) {
+          val preds = legalPred(j)
           var best = Float.NegativeInfinity
           var arg = 0
-          var k = 0
-          while (k < L) {
+          var p = 0
+          while (p < preds.length) {
+            val k = preds(p)
             val sc = dp(i - 1)(k) + trans(k)(j)
             if (sc > best) { best = sc; arg = k }
-            k += 1
+            p += 1
           }
           dp(i)(j) = best + em(i)(j)
           bp(i)(j) = arg
@@ -342,7 +397,8 @@ object Detector {
       i = n - 1
       while (i > 0) { path(i - 1) = bp(i)(path(i)); i -= 1 }
 
-      // per-position confidence (P7): softmax(emission)[chosen]
+      // per-position confidence (P7): softmax(emission)[chosen] — exp via
+      // the bit-identical memo (same float argument -> same double)
       i = 0
       while (i < n) {
         var mx = Float.NegativeInfinity
@@ -350,8 +406,8 @@ object Detector {
         while (j < L) { if (em(i)(j) > mx) mx = em(i)(j); j += 1 }
         var z = 0.0
         j = 0
-        while (j < L) { z += math.exp((em(i)(j) - mx).toDouble); j += 1 }
-        conf(i) = math.exp((em(i)(path(i)) - mx).toDouble) / z
+        while (j < L) { z += expCached(em(i)(j) - mx); j += 1 }
+        conf(i) = expCached(em(i)(path(i)) - mx) / z
         i += 1
       }
 
@@ -449,19 +505,28 @@ object Detector {
     val L = NumLabels
     val dp = Array.ofDim[Float](n, L)
     val bp = Array.ofDim[Int](n, L)
+    // legal-predecessor lists (see Kernel): exact restriction of the
+    // inner max — illegal candidates (trans = -1e9) can never reach the
+    // finite legal maximum
+    val legalPred: Array[Array[Int]] = Array.tabulate(L) { j =>
+      val ks = (0 until L).filter(k => trans(k)(j) > -1e8f)
+      if (ks.isEmpty) (0 until L).toArray else ks.toArray
+    }
     var j = 0
     while (j < L) { dp(0)(j) = trans(L)(j) + em(0)(j); j += 1 }
     var i = 1
     while (i < n) {
       j = 0
       while (j < L) {
+        val preds = legalPred(j)
         var best = Float.NegativeInfinity
         var arg = 0
-        var k = 0
-        while (k < L) {
+        var p = 0
+        while (p < preds.length) {
+          val k = preds(p)
           val s = dp(i - 1)(k) + trans(k)(j)
           if (s > best) { best = s; arg = k }
-          k += 1
+          p += 1
         }
         dp(i)(j) = best + em(i)(j)
         bp(i)(j) = arg
@@ -611,9 +676,18 @@ object Detector {
       ks.iterator.map(k => (s.doc_id, s.span_idx, k))
     }.toDF("doc_id", "span_idx", "gkey")
 
-    val gazKeyed = gazetteer.toDF("surface", "entity_type")
-      .withColumn("gkey", substring(col("surface"), 1, 2))
-      .filter(length(col("surface")) > 0)
+    // gkey derived with java.lang.String.substring (UTF-16 code units) —
+    // the SAME semantics as the sentence side's t.substring(i, i + 2)
+    // above. The former SQL substring(surface, 1, 2) counted Unicode CODE
+    // POINTS: a surface starting with a supplementary (non-BMP) char got
+    // a 3-4-code-unit key no 2-code-unit sentence key could ever equal,
+    // silently dropping its mentions (ADVICE r5, medium).
+    val gazKeyed = gazetteer
+      .filter((e: (String, String)) => e._1.nonEmpty)
+      .map { case (surf, tpe) =>
+        (surf.substring(0, math.min(2, surf.length)), surf, tpe)
+      }
+      .toDF("gkey", "surface", "entity_type")
 
     val candidates = keys.join(gazKeyed, Seq("gkey"))
       .select(col("doc_id"), col("span_idx"), col("surface"), col("entity_type"))

@@ -1,8 +1,10 @@
 package graft.ops
 
 import graft.core.Hashing
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** Deduplication operators for web-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
@@ -18,6 +20,80 @@ import org.apache.spark.sql.functions._
   *    blowup on hub shingles — same skew issue as hub entities in CC).
   */
 object Dedup {
+
+  /** Bounded collect-list aggregator for the banding pair generators
+    * (r6 optimization, guide §2.3/§2.4): gathers a bucket's members into
+    * ONE posting row with the buffer CAPPED at `cap + 1` entries, so a
+    * pathological hub bucket (boilerplate docs, stopword shingles) costs
+    * bounded memory in every partial buffer and is then dropped by the
+    * caller's `size(items) <= cap` filter — byte-identical semantics to
+    * the old count-then-join hot-bucket guard, without the counting
+    * aggregation, the filter join, and the two-sided self-join that made
+    * every banding operator scan its input 3-6 times.
+    *
+    * Cap correctness: a key with total members ≤ cap never truncates (any
+    * partial buffer holds ≤ total entries), so its posting is complete; a
+    * key with total > cap yields a merged buffer of ≥ cap+1 entries
+    * (capped AT cap+1), which the `<= cap` filter removes — exactly the
+    * keys the old `bn <= cap` filter removed. Member order inside a
+    * posting is partition-dependent, but every consumer emits the
+    * unordered pair set (`a.id < b.id`), which is order-invariant.
+    */
+  private[ops] class BoundedCollectAgg(cap: Int, inSchema: StructType)
+      extends Aggregator[Row, Row, Row] {
+    private val bufSchema =
+      StructType(Seq(StructField("items", ArrayType(inSchema, containsNull = false))))
+    private def grow(items: Seq[Row], a: Row): Row = items match {
+      // in-place append on the warm path: the buffer object lives across
+      // reduce() calls, so the ArrayBuffer append is O(1) amortized (an
+      // immutable `:+` would be O(n) per row — O(n²) per hot key)
+      case ab: scala.collection.mutable.ArrayBuffer[Row @unchecked] =>
+        ab += a
+        Row(ab)
+      case other =>
+        Row(scala.collection.mutable.ArrayBuffer.empty[Row] ++= other += a)
+    }
+    override def zero: Row = Row(scala.collection.mutable.ArrayBuffer.empty[Row])
+    override def reduce(b: Row, a: Row): Row = {
+      val items = b.getSeq[Row](0)
+      if (items.length > cap) b else grow(items, a)
+    }
+    override def merge(a: Row, b: Row): Row = {
+      val xs = a.getSeq[Row](0)
+      val ys = b.getSeq[Row](0)
+      if (ys.isEmpty) a
+      else if (xs.isEmpty) b
+      else Row((scala.collection.mutable.ArrayBuffer.empty[Row] ++= xs ++= ys).take(cap + 1))
+    }
+    override def finish(r: Row): Row = r
+    override def bufferEncoder: Encoder[Row] = Encoders.row(bufSchema)
+    override def outputEncoder: Encoder[Row] = Encoders.row(bufSchema)
+  }
+
+  /** One posting row per group: `groupBy(keys).agg(bounded collect of
+    * `payload` members)` → (`items` array column), groups larger than
+    * `cap` dropped. The shared single-shuffle core of all four banding
+    * pair generators.
+    */
+  private def boundedPostings(
+      df: DataFrame,
+      keys: Seq[Column],
+      payload: Seq[Column],
+      paySchema: StructType,
+      cap: Int): DataFrame = {
+    val agg = udaf(new BoundedCollectAgg(cap, paySchema), Encoders.row(paySchema))
+    df.groupBy(keys: _*)
+      .agg(agg(payload: _*).as("_ms"))
+      .select(col("_ms.items").as("ms"))
+      .filter(size(col("ms")) <= cap)
+  }
+
+  /** All unordered member pairs (`a.id < b.id`) of each posting row. */
+  private def postingPairs(posting: DataFrame): DataFrame =
+    posting
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
 
   /** Collision-hardened identity key for exact dedup: two xxhash64 values
     * under independent seeds plus the text length. A single 64-bit hash
@@ -103,32 +179,36 @@ object Dedup {
     def sigExpr(c: Column): Column =
       graft.functions.MinHashSig.minhash_sig(coalesce(c, lit("")), k, shingleWidth)
 
-    // No persist (r4, closes the r3 "caller-managed clearCache" finding):
-    // with the codegen'd signature expression, recomputing sigs per
-    // consumer branch (bucket sizes + both self-join sides) is CHEAPER at
-    // bench scale than the cache write/read round-trip (measured 1.87 s
-    // vs 2.01 s at sf0.1) — and at the 100 TB target a data-sized sig
-    // cache would be guaranteed spill. The operator leaves no hidden
-    // executor state behind.
+    // ONE-SCAN posting-list plan (r6, guide §1.2/§2.4: remove passes and
+    // shuffles outright). The old shape — count buckets, join the counts
+    // back, self-join the pruned table on (band, bucket) — evaluated the
+    // signature kernel over the corpus FOUR times (the plan had 4 scans)
+    // and shuffled the banded table three times. Here the corpus is
+    // scanned once, the banded rows shuffle once into per-bucket postings
+    // (bounded at maxBucket+1 members — same hot-bucket guard, enforced
+    // inside the aggregation buffer instead of by a counting join), and
+    // pairs + scores are generated by exploding each posting. No persist,
+    // no hidden executor state, same output.
     val sigs = df
       .select(col(idCol).as("id"), sigExpr(col(textCol)).as("sig"))
 
     // band buckets: hash of each signature slice
     val banded = bandedSigs(sigs, k, bands)
 
-    // prune pathological buckets (boilerplate) before pairing
-    val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
-    val pruned = banded
-      .join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
+    val paySchema = StructType(Seq(
+      StructField("id", banded.schema("id").dataType, banded.schema("id").nullable),
+      StructField("sig", banded.schema("sig").dataType, false)))
+    val posting = boundedPostings(
+      banded, Seq(col("band"), col("bucket")),
+      Seq(col("id"), col("sig")), paySchema, maxBucket)
 
-    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     // Score + threshold BEFORE the pair-dedup shuffle: est_jaccard is
     // deterministic per pair, so the dedup exchange carries (long, long,
     // double) rows instead of two k-long signatures (~50x narrower), and
     // below-threshold candidates never hit the wire at all.
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    postingPairs(posting)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .withColumn(
         "est_jaccard",
         aggregate(
@@ -245,15 +325,20 @@ object Dedup {
     val banded = sh.select(
       col("id"), col("sh"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bval")))
-    val bucketSizes = banded.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
-    val pruned = banded.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bval"))
-    val a = pruned.select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = pruned.select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // one-scan posting-list plan (see minhashPairs) — the simhash kernel
+    // runs once and the banded rows shuffle once, vs 3 scans + a counting
+    // join + a two-sided self-join before
+    val paySchema = StructType(Seq(
+      StructField("id", banded.schema("id").dataType, banded.schema("id").nullable),
+      StructField("sh", banded.schema("sh").dataType, banded.schema("sh").nullable)))
+    val posting = boundedPostings(
+      banded, Seq(col("band"), col("bval")),
+      Seq(col("id"), col("sh")), paySchema, maxBucket)
     // distance + filter before the pair-dedup shuffle: only pairs within
     // the Hamming bound are exchanged (hamming is deterministic per pair)
-    a.join(b, Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    postingPairs(posting)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
@@ -273,32 +358,39 @@ object Dedup {
       w: Int = 3,
       threshold: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
-    // No persist (r4): shingling is the native one-pass ShingleHashes
-    // expression (distinct shingle hashes straight out of codegen — the
-    // strings never materialize), so recomputing it per consumer branch
-    // costs one extra column-pruned scan each — while caching the
-    // exploded table would hold MORE rows than the corpus token count in
-    // executor memory (guaranteed spill at the 100 TB target).
-    val exploded = df
-      .select(col(idCol).as("id"),
-        explode(graft.functions.ShingleHashes.shingle_hashes(
-          coalesce(col(textCol), lit("")), w)).as("shingle"))
+    // ONE-SCAN posting-list plan (r6, guide §1.2/§2.3/§2.4). The old
+    // inverted-index shape — per-doc sizes agg, doc-frequency agg + hub
+    // filter join, two-sided self-join on shingle, then TWO size joins —
+    // evaluated the shingle kernel over the corpus SIX times (6 scans in
+    // the plan) and ran 4 aggregation/join shuffles. Here:
+    //   - the shingle array is computed ONCE per doc; the doc's distinct-
+    //     shingle count (`sz`, what the old sizes agg computed) is just
+    //     size(array), carried along with each posting member so the
+    //     final size joins disappear (sz is functionally dependent on id);
+    //   - postings per shingle are bounded at maxDf+1 members (same hub
+    //     guard as the old df <= maxDf filter, enforced in the buffer);
+    //   - shared-shingle counts come from exploding each posting's pairs.
+    // Shuffles: explode→postings (by shingle) + pair-count agg. No
+    // persist: nothing is evaluated more than once anymore.
+    val withSh = df.select(
+      col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), w).as("shs"))
+    val exploded = withSh.select(
+      col("id"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("shingle"))
 
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dfilter = exploded
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf) // hub shingles pruned: skew guard
+    val paySchema = StructType(Seq(
+      StructField("id", exploded.schema("id").dataType, exploded.schema("id").nullable),
+      StructField("sz", org.apache.spark.sql.types.LongType, false)))
+    val posting = boundedPostings(
+      exploded, Seq(col("shingle")), Seq(col("id"), col("sz")), paySchema, maxDf)
 
-    val idx = exploded.join(dfilter.select("shingle"), Seq("shingle"))
-    val inter = idx
-      .join(idx.withColumnRenamed("id", "id_b"), Seq("shingle"))
-      .filter(col("id") < col("id_b"))
-      .groupBy(col("id").as("id_a"), col("id_b"))
+    val inter = postingPairs(posting)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("shared"))
 
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)
@@ -334,21 +426,24 @@ object Dedup {
       .withColumn("vn", Similarity.normCol(col("v")))
       .select(col("id"), col("v"), col("vn"),
         posexplode(bandKeys(col("v"))).as(Seq("band", "bucket")))
-    val bucketSizes = withKey.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
-    val pruned = withKey.join(bucketSizes.filter(col("bn") <= maxBucket), Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"), col("vn").as("n_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"), col("vn").as("n_b"))
+    // one-scan posting-list plan (see minhashPairs): the embedding scan +
+    // norm + banding run once and the banded rows shuffle once, vs 3
+    // scans + a counting join + a two-sided self-join before
+    val paySchema = StructType(Seq(
+      StructField("id", withKey.schema("id").dataType, withKey.schema("id").nullable),
+      StructField("v", withKey.schema("v").dataType, withKey.schema("v").nullable),
+      StructField("vn", withKey.schema("vn").dataType, withKey.schema("vn").nullable)))
+    val posting = boundedPostings(
+      withKey, Seq(col("band"), col("bucket")),
+      Seq(col("id"), col("v"), col("vn")), paySchema, maxBucket)
     // exact-cosine verify + threshold BEFORE the pair-dedup shuffle: the
     // dedup exchange carries (long, long, double) rows, not two embedding
     // vectors — at dim=256 that is ~100x less shuffle volume per candidate
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
+    postingPairs(posting)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(
-          Similarity.dotCol(col("v_a"), col("v_b")) /
-            greatest(col("n_a") * col("n_b"), lit(1e-12)), 6))
+          Similarity.dotCol(col("a.v"), col("b.v")) /
+            greatest(col("a.vn") * col("b.vn"), lit(1e-12)), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .dropDuplicates("id_a", "id_b")

@@ -167,11 +167,22 @@ case class BandJoinRewrite(session: SparkSession)
     // fail both filters (null predicate → drop), matching the original
     // inner join's null-condition drop; inverted intervals (lo > hi) fail
     // both too (width negative) and match nothing, as they should.
-    val width = Subtract(hiDiv, loDiv)
+    // Width is computed in DECIMAL(38,0) (ADVICE r5, low): a long
+    // subtraction can overflow for extreme bounds with a tiny bucketSize
+    // (lo near Long.MinValue/2, hi near Long.MaxValue/2, bucket = 1) —
+    // wrapped, the negative width would pass the narrow filter and reach
+    // sequence() at runtime (and under ANSI the subtract itself throws).
+    // Decimal subtraction of two longs is exact, so width >= 0 whenever
+    // lo <= hi and the wide branch correctly absorbs every oversized
+    // interval.
+    val decWidth = Subtract(
+      Cast(hiDiv, org.apache.spark.sql.types.DecimalType(38, 0)),
+      Cast(loDiv, org.apache.spark.sql.types.DecimalType(38, 0)))
+    val maxB = Cast(Literal(maxBuckets), decWidth.dataType)
     val narrow = Filter(
-      And(LessThanOrEqual(loDiv, hiDiv), LessThan(width, Literal(maxBuckets))),
+      And(LessThanOrEqual(loDiv, hiDiv), LessThan(decWidth, maxB)),
       buildSide)
-    val wide = Filter(GreaterThanOrEqual(width, Literal(maxBuckets)), buildSide)
+    val wide = Filter(GreaterThanOrEqual(decWidth, maxB), buildSide)
 
     val bucketAlias = Alias(floorDiv(lower.point, bucket), "__band_bucket_p")()
     val probeProj = Project(probe.output :+ bucketAlias, probe)

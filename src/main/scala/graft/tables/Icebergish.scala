@@ -353,16 +353,25 @@ object Icebergish {
 
     // recursive listing: partitioned layouts nest files under key=value dirs
     val rootQ = f.makeQualified(new Path(root)).toString
-    val committed = {
-      val buf = mutable.ArrayBuffer.empty[String]
+    // committed relpaths PLUS each file's URI-decoded absolute path — the
+    // canonical form both the listing and input_file_name() agree on
+    // (ADVICE r5, low: for paths whose characters URI-encode differently
+    // in the two renderings — spaces, %, non-ASCII roots — keying stats
+    // by Path.toString landed them under a name pruneFiles never queried,
+    // silently losing zone-map skipping for those files).
+    val committedDecoded = {
+      val buf = mutable.ArrayBuffer.empty[(String, String)]
       val it = f.listFiles(dataDir, true)
       while (it.hasNext) {
         val st = it.next()
         if (st.getPath.getName.endsWith(".parquet"))
-          buf += st.getPath.toString.stripPrefix(rootQ + "/")
+          buf += ((st.getPath.toString.stripPrefix(rootQ + "/"), st.getPath.toUri.getPath))
       }
-      buf.sorted.toSeq
+      buf.sortBy(_._1).toSeq
     }
+    val committed = committedDecoded.map(_._1)
+    val decodedToRel: Map[String, String] =
+      committedDecoded.map { case (rel, dec) => dec -> rel }.toMap
     // One read of the committed files yields BOTH the row count and (when
     // requested) the per-file column bounds — stats collection costs no
     // extra scan over the count the commit already paid. Only integral /
@@ -406,8 +415,17 @@ object Icebergish {
             case s => s.toString
           }
           val stats = perFile.map { r =>
-            // Path.toString normalizes the scheme form, matching `committed`
-            val rel = new Path(r.getAs[String]("__file")).toString.stripPrefix(rootQ + "/")
+            // match to the committed listing through the URI-DECODED path
+            // (input_file_name() returns a URI-encoded string, the
+            // listing holds raw characters — decoding both is the one
+            // rendering they must agree on); fall back to the legacy
+            // Path.toString keying if the string is not a parsable URI
+            // (conservative: worst case the file is kept, never skipped)
+            val raw = r.getAs[String]("__file")
+            val rel = (try Option(new java.net.URI(raw).getPath)
+            catch { case _: Exception => None })
+              .flatMap(decodedToRel.get)
+              .getOrElse(new Path(raw).toString.stripPrefix(rootQ + "/"))
             rel -> statTyped.map { case (c, t) =>
               c -> ColStats(t, norm(t, r.getAs[Any](s"__min_$c")), norm(t, r.getAs[Any](s"__max_$c")))
             }.toMap
