@@ -82,7 +82,15 @@ object Triples {
     val spark = triples.sparkSession
     import spark.implicits._
     val comp0 = components.select(col("node"), col("component"))
-    val comp = if (comp0.count() <= broadcastThreshold) broadcast(comp0) else comp0
+    // the adaptive-CC driver path returns a LocalRelation — its size is
+    // free on the driver, so don't schedule a count() job for it (r6);
+    // checkpointed loop outputs still pay the (cheap, materialized) count
+    val localSize = comp0.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => Some(lr.data.length.toLong)
+      case _ => None
+    }
+    val comp =
+      if (localSize.getOrElse(comp0.count()) <= broadcastThreshold) broadcast(comp0) else comp0
     triples
       .join(comp.withColumnRenamed("node", "subj").withColumnRenamed("component", "subj_c"), Seq("subj"), "left")
       .join(comp.withColumnRenamed("node", "obj").withColumnRenamed("component", "obj_c"), Seq("obj"), "left")

@@ -58,33 +58,53 @@ object Canon {
 
     val e0 = edges.select(col("src"), col("dst"))
 
-    if (driverMaxEdges > 0 && e0.count() <= driverMaxEdges) {
-      // bounded graph: min-root union-find with path compression over the
-      // RAW edge list — no bidirection, no dedup, no shuffle at all (the
-      // count and the collect are both scan-only jobs). Union always
-      // attaches the larger root under the smaller, so every set's root is
-      // its lexicographic minimum — identical semantics to the contraction
-      // fixpoint, without per-round job overhead.
-      val rows = e0.collect()
-      val parent = scala.collection.mutable.HashMap.empty[String, String]
-      def find(x: String): String = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
+    if (driverMaxEdges > 0) {
+      // Adaptive gate in ONE action (r6, guide §1.2: don't pay two full
+      // evaluations of the edge plan): the former count()-then-collect()
+      // pair scanned — and re-shuffled, when the edge plan holds a
+      // distinct — the edges twice. A bounded collect aggregate answers
+      // "is the graph ≤ driverMaxEdges AND what are its edges" in one
+      // job with bounded memory: the buffer caps at driverMaxEdges+1
+      // rows, so an over-gate graph costs at most cap+1 buffered edges
+      // per partial buffer, never an unbounded driver collect.
+      val cap = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
+      val paySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", e0.schema("src").dataType, e0.schema("src").nullable),
+        org.apache.spark.sql.types.StructField("dst", e0.schema("dst").dataType, e0.schema("dst").nullable)))
+      val agg = graft.ops.BoundedCollect.agg(cap, paySchema)
+      val collected = e0.agg(agg(col("src"), col("dst")).as("_e"))
+        .select(col("_e.items").as("items"))
+        .head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      if (collected.length <= cap) {
+        // bounded graph: min-root union-find with path compression over
+        // the RAW edge list — no bidirection, no dedup, no shuffle at
+        // all. Union always attaches the larger root under the smaller,
+        // so every set's root is its lexicographic minimum — identical
+        // semantics to the contraction fixpoint, without per-round job
+        // overhead. (Edge arrival order is partition-dependent, but
+        // union-find minima — and the node SET — are order-invariant;
+        // output row order is unspecified, as with any DataFrame.)
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
+        collected.foreach { r =>
+          val a = r.getString(0)
+          val b = r.getString(1)
+          nodes += a += b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        import spark.implicits._
+        return nodes.iterator.map(n => (n, find(n))).toSeq.toDF("node", "component")
       }
-      val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
-      rows.foreach { r =>
-        val a = r.getString(0)
-        val b = r.getString(1)
-        nodes += a += b
-        val ra = find(a)
-        val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      import spark.implicits._
-      return nodes.iterator.map(n => (n, find(n))).toSeq.toDF("node", "component")
     }
 
     val bidirected = e0

@@ -51,6 +51,31 @@ object Lexicon {
   def fromSurfaces(surfaces: Dataset[(String, String)]): Dataset[LexiconEntry] = {
     val spark = surfaces.sparkSession
     import spark.implicits._
+    // Driver fast path (r6): a LOCAL input (the common fixture/vocab
+    // shape — a few dozen surfaces) pays three cluster jobs in the
+    // distributed plan below (range-partition sampling for the sort, the
+    // zipWithIndex size pass, then the consumer's collect). Sorting a
+    // LocalRelation's rows on the driver is job-FREE and id-identical:
+    // the comparator delegates to UTF8String.compareTo, the exact
+    // ordering Spark's string sort uses (UTF-8 byte order — Scala's
+    // String.compareTo differs on supplementary characters).
+    val isLocal = surfaces.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    if (isLocal) {
+      def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val entries = surfaces.collect() // LocalTableScan: no job
+        .sortWith { case ((s1, t1), (s2, t2)) =>
+          val c = u8(t1).compareTo(u8(t2))
+          if (c != 0) c < 0 else u8(s1).compareTo(u8(s2)) < 0
+        }
+        .zipWithIndex.map { case ((surface, tpe), i) =>
+          val cid = f"C${i + 1}%07d"
+          LexiconEntry(cid, surface, tpe, Hashing.embedding(cid + "|" + surface, EmbeddingDim))
+        }
+      return spark.createDataset(entries.toIndexedSeq)
+    }
     val sorted = surfaces
       .toDF("surface", "entity_type")
       .orderBy($"entity_type", $"surface")
@@ -137,8 +162,12 @@ object Lexicon {
     * driver for broadcast (the lexicon is the designated broadcast side).
     */
   def gazetteerEntries(lex: Dataset[LexiconEntry]): Array[(String, String)] = {
-    val spark = lex.sparkSession
-    import spark.implicits._
-    lex.map(e => (e.surface, e.entity_type)).collect()
+    // select() instead of a typed map (r6): a column-level Project over a
+    // LocalRelation lexicon (the fromSurfaces fast path) collapses into
+    // the LocalRelation, so the collect is job-free; the typed map's
+    // object boundary forced a cluster job even for 35 local rows. Same
+    // rows, same order, one job on distributed lexicons (as before).
+    lex.select("surface", "entity_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
   }
 }

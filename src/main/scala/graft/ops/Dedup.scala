@@ -1,10 +1,9 @@
 package graft.ops
 
 import graft.core.Hashing
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Deduplication operators for web-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
@@ -21,59 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
   */
 object Dedup {
 
-  /** Bounded collect-list aggregator for the banding pair generators
-    * (r6 optimization, guide §2.3/§2.4): gathers a bucket's members into
-    * ONE posting row with the buffer CAPPED at `cap + 1` entries, so a
-    * pathological hub bucket (boilerplate docs, stopword shingles) costs
-    * bounded memory in every partial buffer and is then dropped by the
-    * caller's `size(items) <= cap` filter — byte-identical semantics to
-    * the old count-then-join hot-bucket guard, without the counting
-    * aggregation, the filter join, and the two-sided self-join that made
-    * every banding operator scan its input 3-6 times.
-    *
-    * Cap correctness: a key with total members ≤ cap never truncates (any
-    * partial buffer holds ≤ total entries), so its posting is complete; a
-    * key with total > cap yields a merged buffer of ≥ cap+1 entries
-    * (capped AT cap+1), which the `<= cap` filter removes — exactly the
-    * keys the old `bn <= cap` filter removed. Member order inside a
-    * posting is partition-dependent, but every consumer emits the
-    * unordered pair set (`a.id < b.id`), which is order-invariant.
-    */
-  private[ops] class BoundedCollectAgg(cap: Int, inSchema: StructType)
-      extends Aggregator[Row, Row, Row] {
-    private val bufSchema =
-      StructType(Seq(StructField("items", ArrayType(inSchema, containsNull = false))))
-    private def grow(items: Seq[Row], a: Row): Row = items match {
-      // in-place append on the warm path: the buffer object lives across
-      // reduce() calls, so the ArrayBuffer append is O(1) amortized (an
-      // immutable `:+` would be O(n) per row — O(n²) per hot key)
-      case ab: scala.collection.mutable.ArrayBuffer[Row @unchecked] =>
-        ab += a
-        Row(ab)
-      case other =>
-        Row(scala.collection.mutable.ArrayBuffer.empty[Row] ++= other += a)
-    }
-    override def zero: Row = Row(scala.collection.mutable.ArrayBuffer.empty[Row])
-    override def reduce(b: Row, a: Row): Row = {
-      val items = b.getSeq[Row](0)
-      if (items.length > cap) b else grow(items, a)
-    }
-    override def merge(a: Row, b: Row): Row = {
-      val xs = a.getSeq[Row](0)
-      val ys = b.getSeq[Row](0)
-      if (ys.isEmpty) a
-      else if (xs.isEmpty) b
-      else Row((scala.collection.mutable.ArrayBuffer.empty[Row] ++= xs ++= ys).take(cap + 1))
-    }
-    override def finish(r: Row): Row = r
-    override def bufferEncoder: Encoder[Row] = Encoders.row(bufSchema)
-    override def outputEncoder: Encoder[Row] = Encoders.row(bufSchema)
-  }
-
   /** One posting row per group: `groupBy(keys).agg(bounded collect of
     * `payload` members)` → (`items` array column), groups larger than
-    * `cap` dropped. The shared single-shuffle core of all four banding
-    * pair generators.
+    * `cap` dropped (r6 optimization, guide §2.3/§2.4). The shared
+    * single-shuffle core of all four banding pair generators: the cap is
+    * enforced INSIDE the aggregation buffer ([[BoundedCollectAgg]] caps
+    * at cap+1 entries), so a pathological hub bucket (boilerplate docs,
+    * stopword shingles) costs bounded memory and is then dropped by the
+    * `size <= cap` filter — byte-identical semantics to the old
+    * count-then-join hot-bucket guard, without the counting aggregation,
+    * the filter join, and the two-sided self-join that made every
+    * banding operator scan its input 3-6 times.
     */
   private def boundedPostings(
       df: DataFrame,
@@ -81,7 +38,7 @@ object Dedup {
       payload: Seq[Column],
       paySchema: StructType,
       cap: Int): DataFrame = {
-    val agg = udaf(new BoundedCollectAgg(cap, paySchema), Encoders.row(paySchema))
+    val agg = BoundedCollect.agg(cap, paySchema)
     df.groupBy(keys: _*)
       .agg(agg(payload: _*).as("_ms"))
       .select(col("_ms.items").as("ms"))

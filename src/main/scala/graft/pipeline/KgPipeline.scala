@@ -61,10 +61,20 @@ object KgPipeline {
     val spark = docs.sparkSession
     val sents0 = sentences(docs)
     // explicit repartition by doc_id hash (north_rule) — co-locates a doc's
-    // sentences and evens the load before the CPU-bound detector
-    val sents =
-      if (numPartitions > 0) sents0.repartition(numPartitions, col("doc_id"))
-      else sents0.repartition(col("doc_id"))
+    // sentences and evens the load before the CPU-bound detector.
+    // The partition COUNT must be explicit (r6, guide §2.2/§2.5): a bare
+    // repartition(col) lets AQE coalesce by SHUFFLE BYTES, and sentence
+    // rows are tiny — at bench scale the whole detect stage was coalesced
+    // to ONE task, serializing the kernel on one core. Width is derived
+    // from the session (max of cluster cores and the configured shuffle
+    // width), never a constant: locally that is the core count; on a real
+    // cluster whatever parallelism the session is provisioned for.
+    val width =
+      if (numPartitions > 0) numPartitions
+      else math.max(
+        spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val sents = sents0.repartition(width, col("doc_id"))
     val gazBc = Detector.broadcastGazetteer(spark, gazetteer)
     val featsBc = feats.map(spark.sparkContext.broadcast(_)).orNull
     Detector.detect(sents, gazBc, featsBc = featsBc)
@@ -108,10 +118,13 @@ object KgPipeline {
     val surfaces = mentions.select(col("text"), col("entity_type")).distinct()
       .as[(String, String)]
     // tiny (vocabulary-bounded) → persist so the edges branch and the
-    // broadcast branch don't each re-run the distinct
+    // broadcast branch don't each re-run the distinct. No eager count
+    // (r6): the FIRST action over the returned plan — the CC gate's
+    // bounded-collect aggregate, whose edges derive from resolution —
+    // materializes this cache (and the mentions cache) exactly once; a
+    // dedicated count() job only added a full scheduling round-trip.
     val resolution = Linker.surfaceResolution(surfaces, lexicon)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    resolution.count() // eager: materialize once (detect runs here, cached)
     val linked = mentions
       .join(broadcast(resolution), Seq("text", "entity_type"), "inner")
       .select(col("doc_id"), col("span_idx"), col("entity_type"), col("text"),
