@@ -66,16 +66,24 @@ object Canon {
       // "is the graph ≤ driverMaxEdges AND what are its edges" in one
       // job with bounded memory: the buffer caps at driverMaxEdges+1
       // rows, so an over-gate graph costs at most cap+1 buffered edges
-      // per partial buffer, never an unbounded driver collect.
+      // per partial buffer, never an unbounded driver collect. A
+      // LocalRelation edge plan (the pipeline's driver-resolved
+      // canonicalization graph) short-circuits to ZERO jobs.
       val cap = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
-      val paySchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("src", e0.schema("src").dataType, e0.schema("src").nullable),
-        org.apache.spark.sql.types.StructField("dst", e0.schema("dst").dataType, e0.schema("dst").nullable)))
-      val agg = graft.ops.BoundedCollect.agg(cap, paySchema)
-      val collected = e0.agg(agg(col("src"), col("dst")).as("_e"))
-        .select(col("_e.items").as("items"))
-        .head()
-        .getSeq[org.apache.spark.sql.Row](0)
+      val collected: Seq[org.apache.spark.sql.Row] =
+        e0.queryExecution.optimizedPlan match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            e0.collect().toSeq // LocalTableScan: no job
+          case _ =>
+            val paySchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("src", e0.schema("src").dataType, e0.schema("src").nullable),
+              org.apache.spark.sql.types.StructField("dst", e0.schema("dst").dataType, e0.schema("dst").nullable)))
+            val agg = graft.ops.BoundedCollect.agg(cap, paySchema)
+            e0.agg(agg(col("src"), col("dst")).as("_e"))
+              .select(col("_e.items").as("items"))
+              .head()
+              .getSeq[org.apache.spark.sql.Row](0)
+        }
       if (collected.length <= cap) {
         // bounded graph: min-root union-find with path compression over
         // the RAW edge list — no bidirection, no dedup, no shuffle at

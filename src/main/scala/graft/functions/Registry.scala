@@ -50,6 +50,7 @@ object Registry {
     VecDot.register(spark)
     SimHash64.register(spark)
     MinHashSig.register(spark)
+    SigEqCount.register(spark)
     ShingleHashes.register(spark)
     Fingerprint64.register(spark)
     LanguageId.register(spark)

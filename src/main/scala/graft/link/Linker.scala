@@ -192,6 +192,68 @@ object Linker {
         coalesce($"link_score", lit(0.0)).as("link_score"))
   }
 
+  /** Driver-local replica of [[surfaceResolution]] (r6): score a BOUNDED
+    * surface set against a BOUNDED lexicon entirely on the driver — zero
+    * Spark jobs. Used by the pipeline when both sides pass its gates
+    * (the surface set is vocabulary-bounded by design — the pipeline
+    * already BROADCASTS the resolution, so driver-side scoring assumes
+    * nothing new); the distributed path remains for everything else.
+    *
+    * Output-identical to the DataFrame path by construction: it calls
+    * the SAME scalar kernels the codegen expressions call
+    * ([[contextEmbedding]], [[blockingKeys]]; the dot replicates
+    * `functions.VecDot` — float×float products accumulated
+    * left-to-right in double), and the argmax replicates `min_by` over
+    * struct((-score), concept_id): doubles via java.lang.Double.compare
+    * (Spark's double ordering), tie on the concept id's UTF-8 binary
+    * order (concept ids are ASCII, so String order coincides).
+    * Equality with the DataFrame path is asserted in PipelineSpec.
+    */
+  def surfaceResolutionLocal(
+      surfaces: Seq[(String, String)],
+      lexicon: Seq[LexiconEntry],
+      ctxDim: Int = EmbeddingDim): Seq[(String, String, String, Double)] = {
+    // candidate index: (blocking key, entity_type) → entries
+    val byKey = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[LexiconEntry]]
+    lexicon.foreach { e =>
+      blockingKeys(e.surface).foreach { k =>
+        byKey.getOrElseUpdate((k, e.entity_type), scala.collection.mutable.ArrayBuffer.empty) += e
+      }
+    }
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    surfaces.map { case (text, tpe) =>
+      val ctx = contextEmbedding(text, ctxDim)
+      // distinct candidates across the surface's keys (a duplicate from a
+      // second shared key scores identically — argmax unaffected)
+      val cands = blockingKeys(text).iterator
+        .flatMap(k => byKey.getOrElse((k, tpe), Nil))
+        .toSeq.distinct
+      if (cands.isEmpty) (text, tpe, "S:" + text, 0.0)
+      else {
+        var best: LexiconEntry = null
+        var bestScore = 0.0
+        cands.foreach { e =>
+          val score = (if (e.surface == text) 10.0 else 0.0) + dot(ctx, e.embedding)
+          val better =
+            if (best == null) true
+            else {
+              // min_by over struct((-score) asc, concept_id asc)
+              val c = java.lang.Double.compare(-score, -bestScore)
+              c < 0 || (c == 0 && e.concept_id < best.concept_id)
+            }
+          if (better) { best = e; bestScore = score }
+        }
+        (text, tpe, best.concept_id, bestScore)
+      }
+    }
+  }
+
   /** Scale path used by the pipeline: dedup surfaces (map-side combine
     * makes the shuffle tiny — the distinct surface set is vocabulary-
     * bounded, not data-bounded), run the full scorer on the small set,

@@ -166,12 +166,15 @@ object Dedup {
     postingPairs(posting)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      // native equal-count expression (r6): the zip_with+aggregate
+      // formulation allocated a k-element array + two closures per
+      // candidate pair; sig_eq_count is one fused codegen loop. The old
+      // sum of 1.0/0.0 doubles is exactly integer-valued, so count/k is
+      // bit-identical to sum/k.
       .withColumn(
         "est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0),
-          (acc, x) => acc + x) / lit(k.toDouble))
+        graft.functions.SigEqCount.sig_eq_count(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")

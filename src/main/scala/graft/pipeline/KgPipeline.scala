@@ -114,32 +114,71 @@ object KgPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // surface-level link resolution: the distinct (text, type) set is
     // vocabulary-bounded, so linking it once and broadcasting the result
-    // back avoids any wide shuffle of the mention table
-    val surfaces = mentions.select(col("text"), col("entity_type")).distinct()
-      .as[(String, String)]
-    // tiny (vocabulary-bounded) → persist so the edges branch and the
-    // broadcast branch don't each re-run the distinct. No eager count
-    // (r6): the FIRST action over the returned plan — the CC gate's
-    // bounded-collect aggregate, whose edges derive from resolution —
-    // materializes this cache (and the mentions cache) exactly once; a
-    // dedicated count() job only added a full scheduling round-trip.
-    val resolution = Linker.surfaceResolution(surfaces, lexicon)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // back avoids any wide shuffle of the mention table.
+    //
+    // r6 DRIVER-LOCAL resolution path (guide §1.2 — the bench-scale cost
+    // of this stage was 4-5 scheduling round-trips over a few dozen
+    // rows): when the LEXICON is driver-resident (a LocalRelation — the
+    // vocab/fixture shape; a parquet-backed UMLS-scale lexicon is not)
+    // AND the distinct surface set passes a bounded-collect gate, the
+    // scorer runs on the driver via the SAME scalar kernels the codegen
+    // expressions call (Linker.surfaceResolutionLocal — equality
+    // asserted in PipelineSpec), and the resolution/edge tables become
+    // LocalRelations: the CC gate and both broadcast builds then cost
+    // ZERO jobs. Everything beyond the gates takes the distributed path
+    // unchanged. The gate action itself materializes the mentions cache
+    // (one job), which the former eager count() paid anyway.
+    val SurfaceGateCap = 1 << 18
+    val lexLocal: Option[Seq[LexiconEntry]] =
+      lexicon.queryExecution.optimizedPlan match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          Some(lexicon.collect().toSeq) // LocalTableScan: no job
+        case _ => None
+      }
+    val surfaces0 = mentions.select(col("text"), col("entity_type")).distinct()
+    val localRes: Option[Seq[(String, String, String, Double)]] = lexLocal.flatMap { lexRows =>
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val paySchema = StructType(Seq(
+        StructField("text", StringType, nullable = true),
+        StructField("entity_type", StringType, nullable = true)))
+      val agg = graft.ops.BoundedCollect.agg(SurfaceGateCap, paySchema)
+      val got = surfaces0.agg(agg(col("text"), col("entity_type")).as("_s"))
+        .select(col("_s.items").as("items")).head().getSeq[org.apache.spark.sql.Row](0)
+      if (got.length <= SurfaceGateCap)
+        Some(Linker.surfaceResolutionLocal(
+          got.map(r => (r.getString(0), r.getString(1))), lexRows))
+      else None
+    }
+    val resolution = localRes match {
+      case Some(rows) =>
+        rows.toDF("text", "entity_type", "concept_id", "link_score") // LocalRelation
+      case None =>
+        Linker.surfaceResolution(surfaces0.as[(String, String)], lexicon)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val linked = mentions
       .join(broadcast(resolution), Seq("text", "entity_type"), "inner")
       .select(col("doc_id"), col("span_idx"), col("entity_type"), col("text"),
         col("start"), col("end"), col("confidence"), col("concept_id"), col("link_score"))
       .as[LinkedMention]
     // canonicalization graph comes from the (tiny) resolution table, not
-    // from the mention table: surface node ↔ resolved concept node
-    val edges = resolution
-      .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
-      .distinct()
+    // from the mention table: surface node ↔ resolved concept node. On
+    // the driver-local path the distinct runs on the driver so the edge
+    // table is a LocalRelation and the CC gate is job-free.
+    val edges = localRes match {
+      case Some(rows) =>
+        rows.map { case (text, _, cid, _) => ("S:" + text, cid) }
+          .distinct.toDF("src", "dst") // LocalRelation
+      case None =>
+        resolution
+          .select(concat(lit("S:"), col("text")).as("src"), col("concept_id").as("dst"))
+          .distinct()
+    }
     val components = Canon.connectedComponents(edges)
     val triples = Triples.assemble(linked)
     val cleanup = () => {
       mentions.unpersist()
-      resolution.unpersist()
+      if (localRes.isEmpty) resolution.unpersist()
       components.unpersist() // final localCheckpoint of the CC loop
       ()
     }

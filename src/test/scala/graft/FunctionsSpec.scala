@@ -50,6 +50,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Hashing.minhashSignature("a b c d", 4, 2).toSeq)
   }
 
+  test("sig_eq_count equals the zip_with+aggregate agreement sum, incl. via codegen") {
+    import spark.implicits._
+    import graft.functions.SigEqCount
+    // parquet-backed so codegen runs (LocalRelation would constant-fold)
+    val rows = Seq(
+      (1L, Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)), // 3 equal
+      (2L, Array(5L, 5L), Array(5L, 5L)), // all equal
+      (3L, Array(7L, 8L), Array(1L, 2L)), // none
+      (4L, Array.empty[Long], Array.empty[Long]))
+    val dir = java.nio.file.Files.createTempDirectory("sigeq_expr").toString
+    rows.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).orderBy("id")
+    val native = df.select(SigEqCount.sig_eq_count(col("a"), col("b")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == Seq(3L, 2L, 0L, 0L))
+    // the replaced formulation, for bit-equality of est_jaccard = n/k
+    val legacy = df.select(
+      aggregate(
+        zip_with(col("a"), col("b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native.map(_.toDouble) == legacy)
+    assert(native.map(n => n.toDouble / 64.0) == legacy.map(_ / 64.0))
+    // null input → null out; SQL registration path
+    val nrow = Seq((1L, null: Array[Long], Array(1L))).toDF("id", "a", "b")
+      .select(SigEqCount.sig_eq_count(col("a"), col("b"))).head()
+    assert(nrow.isNullAt(0))
+    Registry.registerAll(spark)
+    assert(spark.sql("select sig_eq_count(array(1L,2L), array(1L,3L))").head().getLong(0) == 1L)
+  }
+
   test("shingle_hashes one-pass kernel equals shingles().distinct.map(hashString), incl. via codegen") {
     import spark.implicits._
     import graft.functions.ShingleHashes

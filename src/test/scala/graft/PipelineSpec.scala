@@ -29,6 +29,26 @@ class PipelineSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("driver-local surface resolution equals the distributed scorer bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lex = lexiconFromVocab().cache()
+    val lexRows = lex.collect().toSeq
+    // vocab surfaces (exact matches), unknown-but-prefix-sharing surfaces
+    // (candidates via blocking keys, no exact boost), fully unknown and
+    // empty surfaces (S: fallback), and a wrong-type probe
+    val surfaces: Seq[(String, String)] =
+      DocsGen.vocabEntries ++ Seq(
+        ("高血压", "Diseases"), ("高血压病史", "Diseases"), ("胃", "Anatomical"),
+        ("阿司", "Drug"), ("zz", "Drug"), ("", "Diseases"), ("高血压病", "Drug"))
+    val local = Linker.surfaceResolutionLocal(surfaces, lexRows)
+      .map { case (t, tp, c, s) => (t, tp, c, s) }.toSet
+    val dist = Linker.surfaceResolution(surfaces.toDS(), lex).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(local == dist) // exact doubles, exact concept ids
+    lex.unpersist()
+  }
+
   test("linker links exact-surface mentions to their lexicon concept") {
     val spark2 = spark
     import spark2.implicits._
