@@ -70,21 +70,25 @@ object Canon {
       // LocalRelation edge plan (the pipeline's driver-resolved
       // canonicalization graph) short-circuits to ZERO jobs.
       val cap = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
-      val collected: Seq[org.apache.spark.sql.Row] =
+      val collected: Option[Seq[org.apache.spark.sql.Row]] =
         e0.queryExecution.optimizedPlan match {
           case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-            e0.collect().toSeq // LocalTableScan: no job
+            val rows = e0.collect().toSeq // LocalTableScan: no job
+            if (rows.length <= cap) Some(rows) else None
           case _ =>
             val paySchema = org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("src", e0.schema("src").dataType, e0.schema("src").nullable),
               org.apache.spark.sql.types.StructField("dst", e0.schema("dst").dataType, e0.schema("dst").nullable)))
             val agg = graft.ops.BoundedCollect.agg(cap, paySchema)
-            e0.agg(agg(col("src"), col("dst")).as("_e"))
-              .select(col("_e.items").as("items"))
+            val row = e0.agg(agg(col("src"), col("dst")).as("_e"))
+              .select(col("_e.items").as("items"), col("_e.over").as("over"))
               .head()
-              .getSeq[org.apache.spark.sql.Row](0)
+            // over-gate graphs collapsed to a boolean at the first
+            // overflow — no edge rows were shipped for them
+            if (row.getBoolean(1)) None
+            else Some(row.getSeq[org.apache.spark.sql.Row](0))
         }
-      if (collected.length <= cap) {
+      collected.foreach { edgeRows =>
         // bounded graph: min-root union-find with path compression over
         // the RAW edge list — no bidirection, no dedup, no shuffle at
         // all. Union always attaches the larger root under the smaller,
@@ -102,7 +106,7 @@ object Canon {
           r
         }
         val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
-        collected.foreach { r =>
+        edgeRows.foreach { r =>
           val a = r.getString(0)
           val b = r.getString(1)
           nodes += a += b

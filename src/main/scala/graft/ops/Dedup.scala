@@ -41,8 +41,11 @@ object Dedup {
     val agg = BoundedCollect.agg(cap, paySchema)
     df.groupBy(keys: _*)
       .agg(agg(payload: _*).as("_ms"))
+      // the aggregator's overflow flag IS the hot-bucket decision: an
+      // over-cap bucket collapsed to one boolean at its first overflow
+      // (no cap+1 rows ever shipped) and is dropped here
+      .filter(!col("_ms.over"))
       .select(col("_ms.items").as("ms"))
-      .filter(size(col("ms")) <= cap)
   }
 
   /** All unordered member pairs (`a.id < b.id`) of each posting row. */

@@ -142,12 +142,11 @@ object KgPipeline {
         StructField("text", StringType, nullable = true),
         StructField("entity_type", StringType, nullable = true)))
       val agg = graft.ops.BoundedCollect.agg(SurfaceGateCap, paySchema)
-      val got = surfaces0.agg(agg(col("text"), col("entity_type")).as("_s"))
-        .select(col("_s.items").as("items")).head().getSeq[org.apache.spark.sql.Row](0)
-      if (got.length <= SurfaceGateCap)
-        Some(Linker.surfaceResolutionLocal(
-          got.map(r => (r.getString(0), r.getString(1))), lexRows))
-      else None
+      val row = surfaces0.agg(agg(col("text"), col("entity_type")).as("_s"))
+        .select(col("_s.items").as("items"), col("_s.over").as("over")).head()
+      if (row.getBoolean(1)) None // over the gate: distributed path
+      else Some(Linker.surfaceResolutionLocal(
+        row.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))), lexRows))
     }
     val resolution = localRes match {
       case Some(rows) =>

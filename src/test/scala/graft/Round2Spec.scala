@@ -89,6 +89,25 @@ class Round2Spec extends AnyFunSuite {
     assert(pairs.filter(p => p._2 - p._1 == 100000 && p._1 < 25).forall(_._3 == 0))
   }
 
+  test("hot-bucket cap boundary: exactly-cap buckets pair, cap+1 buckets drop (overflow flag)") {
+    import spark.implicits._
+    // 5 identical docs share every band bucket; 2 other docs are unrelated.
+    // cap = 5: the identical group is AT the cap → all C(5,2) = 10 pairs.
+    // cap = 4: the group overflows (5 > 4) → its buckets drop → 0 pairs.
+    // This pins the BoundedCollectAgg flag semantics to the old
+    // count-then-join guard's decisions at the exact boundary.
+    val docs = ((0 until 5).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog repeatedly")) ++
+      Seq((10L, "completely different text one two three four five six seven"),
+        (11L, "another unrelated document with its own words entirely here")))
+      .toDF("doc_id", "text")
+    val atCap = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atCap == (for (a <- 0 until 5; b <- a + 1 until 5) yield (a.toLong, b.toLong)).toSet)
+    val overCap = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.3, maxBucket = 4)
+      .collect()
+    assert(overCap.isEmpty, s"cap+1 bucket must drop, got ${overCap.length} pairs")
+  }
+
   test("connected components converge on a chain graph with diameter > 10") {
     import spark.implicits._
     // 16-node chain: min label must propagate 15 hops; also checks the
