@@ -64,9 +64,10 @@ object Canon {
       // pair scanned — and re-shuffled, when the edge plan holds a
       // distinct — the edges twice. A bounded collect aggregate answers
       // "is the graph ≤ driverMaxEdges AND what are its edges" in one
-      // job with bounded memory: the buffer caps at driverMaxEdges+1
-      // rows, so an over-gate graph costs at most cap+1 buffered edges
-      // per partial buffer, never an unbounded driver collect. A
+      // job with bounded memory: an under-gate graph is collected
+      // completely, an over-gate graph collapses to an overflow BOOLEAN
+      // at the first buffer overflow (no edge rows shipped — see
+      // BoundedCollectAgg) and takes the contraction loop. A
       // LocalRelation edge plan (the pipeline's driver-resolved
       // canonicalization graph) short-circuits to ZERO jobs.
       val cap = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
